@@ -10,28 +10,37 @@ Problem form (OSQP form):
     subject to  l <= A x <= u
 
 Algorithm (OSQP, Stellato et al. 2020):
-    (P + sigma*I + A^T R A) xt = sigma*x - q + A^T (R z - y)
-    zt = A xt
-    x+ = alpha*xt + (1-alpha)*x
-    z+ = Pi_[l,u]( alpha*zt + (1-alpha)*z + y/rho )
-    y+ = y + R( alpha*zt + (1-alpha)*z - z+ )
-with per-row penalties R = diag(rho_vec): rho on inequality rows,
-1e3*rho on equality rows, 1e-6 on fully-loose rows (OSQP defaults), optional
-adaptive rho rescaling at termination checks.
+  - modified Ruiz equilibration (matrix-free: operators expose structural
+    row/column infinity norms, so the big per-sample Jacobian stack is never
+    materialized as a matrix),
+  - per-row penalties rho: rho on inequality rows, 1e3*rho on equality rows,
+    1e-6 on fully-loose rows, with adaptive rescaling at termination checks,
+  - over-relaxed iterates (alpha = 1.6),
+  - unscaled-residual termination:
+      ||Ax - z||_inf         <= eps_abs + eps_rel * max(||Ax||, ||z||)
+      ||Px + q + A^T y||_inf <= eps_abs + eps_rel * max(||Px||,||A^T y||,||q||)
+  - optional active-set polishing.
 
-Termination (unscaled OSQP criteria):
-    ||Ax - z||_inf        <= eps_abs + eps_rel * max(||Ax||_inf, ||z||_inf)
-    ||Px + q + A^T y||_inf <= eps_abs + eps_rel * max(||Px||, ||A^T y||, ||q||)
+The core is parameterized by an operator object so the same loop drives the
+dense instantiation below and the structured sample-sharded SAA instantiation
+(ops/saa_qp.py), whose matvecs are batched einsums over per-sample constraint
+blocks with psum-able couplings.
 
-The core is parameterized by an operator object so the same loop drives both
-the dense instantiation below and the structured sample-sharded SAA
-instantiation (ops/saa_qp.py), whose matvecs are batched einsums over the
-per-sample constraint blocks with psum-able couplings.
+Operator interface (all jit-traceable):
+    matvec_P(x) -> (n,)
+    matvec_A(x) -> (m,)
+    rmatvec_A(w) -> (n,)
+    factorize(rho_vec, sigma_vec, cost_scale) -> factor
+    kkt_solve(factor, rhs, rho_vec, sigma_vec, cost_scale) -> x
+        solves (cost_scale*P + diag(sigma_vec) + A^T diag(rho_vec) A) x = rhs
+    row_inf_norms(D) -> (m,)   max_j |A_ij| * D_j      (for Ruiz)
+    col_inf_norms(E) -> (n,)   max_i E_i * |A_ij|      (for Ruiz)
+    col_inf_norms_P(D) -> (n,) max_i D_i * |P_ij|      (for Ruiz cost scaling)
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +52,8 @@ _RHO_MIN = 1e-6
 _RHO_MAX = 1e6
 _LOOSE_RHO = 1e-6
 _EQ_TOL = 1e-9
+_MIN_SCALING = 1e-4
+_MAX_SCALING = 1e4
 
 
 class QPSolution(NamedTuple):
@@ -53,6 +64,87 @@ class QPSolution(NamedTuple):
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
     solved: jnp.ndarray  # bool
+
+
+class Scaling(NamedTuple):
+    """Ruiz equilibration scalings: x = D xbar, constraint rows scaled by E,
+    cost scaled by c."""
+
+    D: jnp.ndarray  # (n,)
+    E: jnp.ndarray  # (m,)
+    c: jnp.ndarray  # scalar
+
+
+def ruiz_equilibrate(ops, q, l, u, iters: int = 5) -> Scaling:
+    """Modified Ruiz equilibration (OSQP sec 5.1), matrix-free.
+
+    Iteratively scales rows/cols of [[P, A^T], [A, 0]] toward unit infinity
+    norm, then normalizes the cost. Only structural norm callbacks are used."""
+    n = q.shape[0]
+    m = l.shape[0]
+    dtype = q.dtype
+    D = jnp.ones(n, dtype)
+    E = jnp.ones(m, dtype)
+    c = jnp.ones((), dtype)
+
+    def body(_, DEc):
+        D, E, c = DEc
+        # column norms of the scaled KKT block for primal variables:
+        # max( c * D_j * max_i D_i |P_ij|, max_i E_i |A_ij| D_j )
+        colP = c * D * ops.col_inf_norms_P(D)
+        colA = ops.col_inf_norms(E) * D
+        col = jnp.maximum(colP, colA)
+        rowA = ops.row_inf_norms(D) * E
+        d_new = 1.0 / jnp.sqrt(jnp.clip(col, _MIN_SCALING, _MAX_SCALING))
+        e_new = 1.0 / jnp.sqrt(jnp.clip(rowA, _MIN_SCALING, _MAX_SCALING))
+        D = D * d_new
+        E = E * e_new
+        # cost normalization
+        colP_new = c * D * ops.col_inf_norms_P(D)
+        gamma_denom = jnp.maximum(jnp.mean(colP_new), jnp.max(jnp.abs(c * D * q)))
+        gamma = 1.0 / jnp.clip(gamma_denom, _MIN_SCALING, _MAX_SCALING)
+        c = c * gamma
+        return (D, E, c)
+
+    D, E, c = lax.fori_loop(0, iters, body, (D, E, c))
+    return Scaling(D=D, E=E, c=c)
+
+
+class ScaledOps:
+    """Wraps an operator bundle with Ruiz scalings: Abar = E A D,
+    Pbar = c D P D, solving in the scaled space."""
+
+    def __init__(self, inner, scaling: Scaling):
+        self.inner = inner
+        self.s = scaling
+
+    def matvec_P(self, x):
+        s = self.s
+        return s.c * s.D * self.inner.matvec_P(s.D * x)
+
+    def matvec_A(self, x):
+        s = self.s
+        return s.E * self.inner.matvec_A(s.D * x)
+
+    def rmatvec_A(self, w):
+        s = self.s
+        return s.D * self.inner.rmatvec_A(s.E * w)
+
+    def factorize(self, rho_vec, sigma_vec, cost_scale=1.0):
+        # (c D P D + diag(sigma) + D A^T E R E A D) = D (cP + diag(sigma/D^2)
+        #  + A^T (R E^2) A) D
+        s = self.s
+        return self.inner.factorize(
+            rho_vec * s.E**2, sigma_vec / s.D**2, cost_scale * s.c
+        )
+
+    def kkt_solve(self, factor, rhs, rho_vec, sigma_vec, cost_scale=1.0):
+        s = self.s
+        x = self.inner.kkt_solve(
+            factor, rhs / s.D, rho_vec * s.E**2, sigma_vec / s.D**2,
+            cost_scale * s.c,
+        )
+        return x / s.D
 
 
 def rho_vector(l, u, rho):
@@ -77,64 +169,92 @@ class _State(NamedTuple):
     done: jnp.ndarray
 
 
-def admm_solve(ops, q, l, u, cfg: SolverConfig, x0=None, y0=None) -> QPSolution:
+def admm_solve(
+    ops,
+    q,
+    l,
+    u,
+    cfg: SolverConfig,
+    x0=None,
+    y0=None,
+    scaling: Optional[Scaling] = None,
+) -> QPSolution:
     """Run ADMM to the OSQP termination criterion.
 
-    `ops` must provide:
-      matvec_P(x) -> (n,)
-      matvec_A(x) -> (m,)
-      rmatvec_A(w) -> (n,)
-      factorize(rho_vec, sigma) -> factor
-      kkt_solve(factor, rhs, rho_vec, sigma) -> x  (solve (P+sigma I+A^T R A)x=rhs)
-
-    x0/y0 warm-start the primal/dual iterates (OSQP warm_start=True parity,
-    car/driving.py:436).
-    """
+    If `scaling` is provided the iteration runs in the equilibrated space
+    while termination uses unscaled residuals (OSQP scaled_termination=False
+    default); x0/y0 and the returned solution are always unscaled."""
     dtype = q.dtype
     n = q.shape[0]
     m = l.shape[0]
-    x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype)
-    y = jnp.zeros(m, dtype) if y0 is None else y0.astype(dtype)
-    z = jnp.clip(ops.matvec_A(x), l, u)
-    sigma = jnp.asarray(cfg.sigma, dtype)
+
+    if scaling is None:
+        scaling = Scaling(
+            D=jnp.ones(n, dtype), E=jnp.ones(m, dtype), c=jnp.ones((), dtype)
+        )
+        sops = ops
+    else:
+        sops = ScaledOps(ops, scaling)
+    D, E, c = scaling.D, scaling.E, scaling.c
+
+    qs = c * D * q
+    ls = E * l
+    us = E * u
+    # scaled warm start
+    x = jnp.zeros(n, dtype) if x0 is None else x0.astype(dtype) / D
+    y = jnp.zeros(m, dtype) if y0 is None else y0.astype(dtype) * c / E
+    z = jnp.clip(sops.matvec_A(x), ls, us)
+
+    sigma_vec = jnp.full(n, cfg.sigma, dtype)
     alpha = jnp.asarray(cfg.alpha_relax, dtype)
     rho0 = jnp.asarray(cfg.rho, dtype)
-    q_norm = jnp.max(jnp.abs(q))
+    q_norm_unscaled = jnp.max(jnp.abs(q))
 
-    factor0 = ops.factorize(rho_vector(l, u, rho0), sigma)
+    factor0 = sops.factorize(rho_vector(ls, us, rho0), sigma_vec)
 
     def one_iter(x, z, y, rho, factor):
-        rho_vec = rho_vector(l, u, rho)
-        rhs = sigma * x - q + ops.rmatvec_A(rho_vec * z - y)
-        xt = ops.kkt_solve(factor, rhs, rho_vec, sigma)
-        zt = ops.matvec_A(xt)
+        rv = rho_vector(ls, us, rho)
+        rhs = sigma_vec * x - qs + sops.rmatvec_A(rv * z - y)
+        xt = sops.kkt_solve(factor, rhs, rv, sigma_vec)
+        zt = sops.matvec_A(xt)
         x_next = alpha * xt + (1 - alpha) * x
         z_relax = alpha * zt + (1 - alpha) * z
-        z_next = jnp.clip(z_relax + y / rho_vec, l, u)
-        y_next = y + rho_vec * (z_relax - z_next)
+        z_next = jnp.clip(z_relax + y / rv, ls, us)
+        y_next = y + rv * (z_relax - z_next)
         return x_next, z_next, y_next
 
     def residuals(x, z, y):
-        Ax = ops.matvec_A(x)
-        Px = ops.matvec_P(x)
-        Aty = ops.rmatvec_A(y)
-        prim = jnp.max(jnp.abs(Ax - z))
+        """Unscaled residuals + eps thresholds + scaled-ratio for rho."""
+        Ax_s = sops.matvec_A(x)
+        Px_s = sops.matvec_P(x)
+        Aty_s = sops.rmatvec_A(y)
+        # unscale: x_u = D x ; Ax_u = E^-1 Ax_s ; y_u = E y / c
+        Ax = Ax_s / E
+        zu = z / E
+        Px = Px_s / (c * D)
+        Aty = Aty_s / (c * D)
+        prim = jnp.max(jnp.abs(Ax - zu))
         dual = jnp.max(jnp.abs(Px + q + Aty))
         eps_prim = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
-            jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))
+            jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(zu))
         )
         eps_dual = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))), q_norm
+            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+            q_norm_unscaled,
         )
-        # relative residual ratio for adaptive rho (OSQP eq. 28)
-        denom_p = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))) + 1e-30
+        # adaptive-rho ratio uses scaled residuals (OSQP sec 5.2)
+        prim_s = jnp.max(jnp.abs(Ax_s - z))
+        dual_s = jnp.max(jnp.abs(Px_s + qs + Aty_s))
+        denom_p = jnp.maximum(jnp.max(jnp.abs(Ax_s)), jnp.max(jnp.abs(z))) + 1e-30
         denom_d = (
             jnp.maximum(
-                jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))), q_norm
+                jnp.maximum(jnp.max(jnp.abs(Px_s)), jnp.max(jnp.abs(Aty_s))),
+                jnp.max(jnp.abs(qs)),
             )
             + 1e-30
         )
-        return prim, dual, eps_prim, eps_dual, (prim / denom_p) / (dual / denom_d + 1e-30)
+        ratio = (prim_s / denom_p) / (dual_s / denom_d + 1e-30)
+        return prim, dual, eps_prim, eps_dual, ratio
 
     def cond(s: _State):
         return jnp.logical_not(s.done) & (s.it < cfg.max_iter)
@@ -157,7 +277,7 @@ def admm_solve(ops, q, l, u, cfg: SolverConfig, x0=None, y0=None) -> QPSolution:
             rho = jnp.where(do_update, rho_new, s.rho)
             factor = lax.cond(
                 do_update,
-                lambda: ops.factorize(rho_vector(l, u, rho), sigma),
+                lambda: sops.factorize(rho_vector(ls, us, rho), sigma_vec),
                 lambda: s.factor,
             )
         else:
@@ -188,14 +308,18 @@ def admm_solve(ops, q, l, u, cfg: SolverConfig, x0=None, y0=None) -> QPSolution:
     )
     s = lax.while_loop(cond, body, init)
 
-    x, y, z = s.x, s.y, s.z
+    # unscale
+    x_u = D * s.x
+    y_u = E * s.y / c
+    z_u = s.z / E
+
     if cfg.polish:
-        x, y, z = _polish(ops, q, l, u, x, y, z, cfg)
+        x_u, y_u, z_u = _polish(ops, q, l, u, x_u, y_u, z_u, cfg)
 
     return QPSolution(
-        x=x,
-        y=y,
-        z=z,
+        x=x_u,
+        y=y_u,
+        z=z_u,
         iters=s.it,
         prim_res=s.prim_res,
         dual_res=s.dual_res,
@@ -203,7 +327,7 @@ def admm_solve(ops, q, l, u, cfg: SolverConfig, x0=None, y0=None) -> QPSolution:
     )
 
 
-def _polish(ops, q, l, u, x, y, z, cfg: SolverConfig):
+def _polish(ops, q, l, u, x, y, z, cfg, eq_mask=None, active_masks=None):
     """Static-shape analog of OSQP polishing: solve the KKT system with the
     active rows treated as (stiff) equalities and inactive rows dropped.
 
@@ -212,37 +336,46 @@ def _polish(ops, q, l, u, x, y, z, cfg: SolverConfig):
     (P + sigma_p I + A^T W A) x = -q + A^T W b with W = w_big on active rows
     and 0 elsewhere, b the active bound — equivalent in the w_big limit —
     followed by refinement steps. Duals of active rows are recovered from the
-    stationarity residual."""
+    penalty residual. Polish is accepted only if it improves both residuals
+    (OSQP behavior)."""
     dtype = q.dtype
+    n = q.shape[0]
     w_big = jnp.asarray(1e7, dtype)
-    sigma_p = jnp.asarray(1e-9, dtype)
-    lower_active = y < -1e-12
-    upper_active = y > 1e-12
+    sigma_p = jnp.full(n, 1e-9, dtype)
+    if active_masks is not None:
+        # caller-supplied active set (e.g. IPM's lambda > s detection — IPM
+        # duals are strictly interior so sign-based detection over-selects)
+        lower_active, upper_active = active_masks
+    else:
+        lower_active = y < -1e-12
+        upper_active = y > 1e-12
+    if eq_mask is not None:
+        # equality rows are always in the active set regardless of their
+        # multiplier sign (l == u there so the bound choice is immaterial)
+        lower_active = lower_active | eq_mask
     active = lower_active | upper_active
     b = jnp.where(lower_active, l, jnp.where(upper_active, u, 0.0))
     b = jnp.where(jnp.isfinite(b), b, 0.0)
     w = jnp.where(active, w_big, 0.0)
 
-    factor = ops.factorize(w, sigma_p)
+    factor = ops.factorize(w, sigma_p, 1.0)
     rhs = -q + ops.rmatvec_A(w * b)
-    x_pol = ops.kkt_solve(factor, rhs, w, sigma_p)
-    # iterative refinement on the penalized system
+    x_pol = ops.kkt_solve(factor, rhs, w, sigma_p, 1.0)
+
     def refine(_, x_pol):
         r = rhs - (
             ops.matvec_P(x_pol)
             + sigma_p * x_pol
             + ops.rmatvec_A(w * ops.matvec_A(x_pol))
         )
-        return x_pol + ops.kkt_solve(factor, r, w, sigma_p)
+        return x_pol + ops.kkt_solve(factor, r, w, sigma_p, 1.0)
 
     x_pol = lax.fori_loop(0, cfg.polish_refine_iters, refine, x_pol)
 
-    # recovered duals: y_active = W (A x - b) on active rows
     Ax = ops.matvec_A(x_pol)
     y_pol = jnp.where(active, w * (Ax - b), 0.0)
     z_pol = jnp.clip(Ax, l, u)
 
-    # accept polish only if it improves both residuals (OSQP behavior)
     def resid(xx, yy, zz):
         prim = jnp.max(jnp.abs(ops.matvec_A(xx) - zz))
         dual = jnp.max(jnp.abs(ops.matvec_P(xx) + q + ops.rmatvec_A(yy)))
@@ -257,7 +390,7 @@ def _polish(ops, q, l, u, x, y, z, cfg: SolverConfig):
 
 class DenseQPOps:
     """Dense instantiation: P (n,n), A (m,n) materialized; KKT solved by
-    Cholesky of P + sigma I + A^T R A with optional iterative refinement
+    Cholesky of cP + diag(sigma) + A^T R A with optional iterative refinement
     (helps f32 on TPU, SURVEY.md section 7.3.1-2)."""
 
     def __init__(self, P, A, kkt_refine_iters: int = 1):
@@ -274,19 +407,26 @@ class DenseQPOps:
     def rmatvec_A(self, w):
         return self.A.T @ w
 
-    def _kkt_matrix(self, rho_vec, sigma):
-        n = self.P.shape[0]
+    def row_inf_norms(self, D):
+        return jnp.max(jnp.abs(self.A) * D[None, :], axis=1)
+
+    def col_inf_norms(self, E):
+        return jnp.max(E[:, None] * jnp.abs(self.A), axis=0)
+
+    def col_inf_norms_P(self, D):
+        return jnp.max(D[:, None] * jnp.abs(self.P), axis=0)
+
+    def _kkt_matrix(self, rho_vec, sigma_vec, cost_scale):
         return (
-            self.P
-            + sigma * jnp.eye(n, dtype=self.P.dtype)
+            cost_scale * self.P
+            + jnp.diag(sigma_vec)
             + self.A.T @ (rho_vec[:, None] * self.A)
         )
 
-    def factorize(self, rho_vec, sigma):
-        Kmat = self._kkt_matrix(rho_vec, sigma)
-        return jnp.linalg.cholesky(Kmat)
+    def factorize(self, rho_vec, sigma_vec, cost_scale=1.0):
+        return jnp.linalg.cholesky(self._kkt_matrix(rho_vec, sigma_vec, cost_scale))
 
-    def kkt_solve(self, chol, rhs, rho_vec, sigma):
+    def kkt_solve(self, chol, rhs, rho_vec, sigma_vec, cost_scale=1.0):
         def solve(r):
             t = jax.scipy.linalg.solve_triangular(chol, r, lower=True)
             return jax.scipy.linalg.solve_triangular(chol.T, t, lower=False)
@@ -294,15 +434,27 @@ class DenseQPOps:
         x = solve(rhs)
         for _ in range(self.kkt_refine_iters):
             r = rhs - (
-                self.P @ x + sigma * x + self.A.T @ (rho_vec * (self.A @ x))
+                cost_scale * (self.P @ x)
+                + sigma_vec * x
+                + self.A.T @ (rho_vec * (self.A @ x))
             )
             x = x + solve(r)
         return x
 
 
 def solve_dense_qp(
-    P, q, A, l, u, cfg: SolverConfig = SolverConfig(), x0=None, y0=None
+    P,
+    q,
+    A,
+    l,
+    u,
+    cfg: SolverConfig = SolverConfig(),
+    x0=None,
+    y0=None,
+    scale: bool = True,
+    ruiz_iters: int = 5,
 ) -> QPSolution:
     """One-call dense QP solve (OSQP setup+solve equivalent)."""
     ops = DenseQPOps(P, A, kkt_refine_iters=cfg.kkt_refine_iters)
-    return admm_solve(ops, q, l, u, cfg, x0=x0, y0=y0)
+    scaling = ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters) if scale else None
+    return admm_solve(ops, q, l, u, cfg, x0=x0, y0=y0, scaling=scaling)

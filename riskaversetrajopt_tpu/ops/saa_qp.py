@@ -1,0 +1,441 @@
+"""Structured SAA SCP subproblem: CVaR epigraph packing + sample-parallel KKT.
+
+The reference assembles, per SCP iteration, a dense-then-sparse OSQP problem
+with decision vector z = [us (n_u*S) | ys (M) | slack | t_risk] and row blocks
+  [ final rows (n_fc) | CVaR row | -y_i - s rows (M) | per-sample constraint
+    blocks (M*K) | slack row | control rows (n_u*S) ]
+(car/driving.py:301-373, drone/drone_risk.py:282-374). That matrix is
+(1 + M + M*K + ...) x (n_u*S + M + 2): for M = 1000 drone samples it has ~61k
+rows — materializing it densely on-chip would turn every ADMM iteration into a
+260 MB HBM sweep.
+
+Here the QP is represented STRUCTURALLY: the only large object is the stack of
+per-sample constraint Jacobians G (M, K, n). All products with A decompose
+into one batched einsum over G plus O(M + n) coupling terms, and the ADMM KKT
+matrix
+
+    N = P + sigma*I + A^T R A,  R = diag(per-row rho)
+
+factors by a Schur complement over the sample axis: the y-block of N is
+diagonal + rank-1 (the CVaR row couples all y_i through an all-ones row), so
+eliminating y via Sherman-Morrison reduces the solve to a dense
+(n + 2) x (n + 2) system in the coupled variables (u, slack, t) — exactly the
+decomposition that distributes over a sample-sharded mesh with one psum
+(SURVEY.md sections 5, 7.1.5).
+
+Row-layout, MULTIPLIER row scaling (drone_risk.py:310,353), iteration gating
+(car/driving.py:411-415 zero-rows with l *= 0 -> effectively -inf via OSQP's
+NaN clamping; drone_risk.py:413-417 scale 1e-7 with bounds +/-0.1), baseline
+method variants (incl. the drone baseline's extra 1e-3 safety padding,
+drone_risk.py:319-325) all reproduce the reference contracts exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from riskaversetrajopt_tpu.core.config import SCPConfig, SolverConfig
+from riskaversetrajopt_tpu.ops import admm
+from riskaversetrajopt_tpu.ops.rollout import SampleLinearization
+
+
+class SAAQPStatic(NamedTuple):
+    """Static (hashable) problem structure."""
+
+    n: int  # n_u * S control variables
+    M: int  # samples
+    K: int  # inequality constraints per sample
+    n_fc: int  # final (equality) rows
+    n_x: int  # state dim — the gating threshold row index (see module doc)
+    row_scale: float  # MULTIPLIER on sample rows (drone 0.01, car 1.0)
+    slack_penalty: float  # P[-2,-2] and q[-2] (car 1e3, drone 1e4)
+    u_max: float
+    baseline: bool  # 'baseline' method (no CVaR rows, padded sample rows)
+    baseline_pad: float  # drone baseline safety padding (1e-3)
+    gate_iters: int
+    gate_scale: float  # A-row scale during gated iterations
+    gate_l: float  # gated lower bound (-inf for car, -0.1 for drone)
+    gate_u: float  # gated upper bound
+
+
+class SAAQPData(NamedTuple):
+    """Per-SCP-iteration numeric data (linearization at the previous iterate)."""
+
+    F: jnp.ndarray  # (n_fc, n) sample-averaged final-constraint Jacobian
+    f_rhs: jnp.ndarray  # (n_fc,) equality rhs
+    G: jnp.ndarray  # (M, K, n) per-sample constraint Jacobians
+    g_up: jnp.ndarray  # (M, K) linearized upper bounds (before row_scale)
+    p_diag_u: jnp.ndarray  # (n,) control-block objective diagonal (2*dt*R)
+    alpha: jnp.ndarray  # risk level (scalar; traced so alpha sweeps batch)
+
+
+def pack_saa_qp_data(
+    lin: SampleLinearization, us_prev_vec, p_diag_u, alpha
+) -> SAAQPData:
+    """Build per-iteration QP data from a batched linearization.
+
+    Linearized constraint contract (car/driving.py:289-296):
+      equality rows:  F u = mean_i(-f_i + F_i u_prev)  with F = mean_i F_i
+      sample rows:    G_i u <= -g_i + G_i u_prev
+    """
+    F = jnp.mean(lin.f_jac, axis=0)
+    f_rhs = jnp.mean(-lin.f_val + lin.f_jac @ us_prev_vec, axis=0)
+    g_up = -lin.g_val + lin.g_jac @ us_prev_vec
+    return SAAQPData(
+        F=F, f_rhs=f_rhs, G=lin.g_jac, g_up=g_up,
+        p_diag_u=p_diag_u, alpha=jnp.asarray(alpha, lin.g_jac.dtype),
+    )
+
+
+class _RowScales(NamedTuple):
+    """Per-segment A-row scaling implementing iteration gating and the
+    baseline-method row shape in fixed layout."""
+
+    c: jnp.ndarray  # scalar, CVaR row
+    y: jnp.ndarray  # (M,), -y_i - s rows
+    gy: jnp.ndarray  # scalar, multiplies the y/t couplings of sample rows
+    g: jnp.ndarray  # scalar, multiplies the whole sample-row blocks
+    s: jnp.ndarray  # scalar, slack row
+
+
+def _segments(st: SAAQPStatic):
+    """Static row-segment sizes in reference order."""
+    return st.n_fc, 1, st.M, st.M * st.K, 1, st.n
+
+
+def _row_scales(st: SAAQPStatic, scp_iter, dtype) -> _RowScales:
+    gating = scp_iter < st.gate_iters
+    gate = jnp.asarray(st.gate_scale, dtype)
+    one = jnp.asarray(1.0, dtype)
+
+    # absolute row index >= n_x is gated (see module docstring)
+    c_gated = st.n_fc >= st.n_x  # static bool
+    y_gated_static = jnp.arange(st.M) >= (st.n_x - st.n_fc - 1)  # (M,)
+
+    c = jnp.where(gating & c_gated, gate, one)
+    y = jnp.where(gating & y_gated_static, gate, one)
+    g = jnp.where(gating, gate, one)
+    s = jnp.where(gating, gate, one)
+    if st.baseline:
+        # baseline: no CVaR/y/slack rows; sample rows touch only u
+        c = c * 0.0
+        y = y * 0.0
+        s = s * 0.0
+        gy = jnp.zeros((), dtype)
+    else:
+        gy = one
+    return _RowScales(c=c, y=y, gy=gy, g=g, s=s)
+
+
+def build_bounds(st: SAAQPStatic, data: SAAQPData, scp_iter):
+    """Assemble (l, u) in reference row order with gating applied."""
+    dtype = data.G.dtype
+    m = jnp.asarray(st.row_scale, dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    gating = scp_iter < st.gate_iters
+
+    l_final = data.f_rhs
+    u_final = data.f_rhs
+
+    def gated(l_norm, u_norm):
+        gl = jnp.full_like(l_norm, st.gate_l)
+        gu = jnp.full_like(u_norm, st.gate_u)
+        return jnp.where(gating, gl, l_norm), jnp.where(gating, gu, u_norm)
+
+    # CVaR row + y rows + slack row: normally (-inf, 0]
+    l_c, u_c = gated(-inf * jnp.ones(1, dtype), jnp.zeros(1, dtype))
+    # y rows gate only where the static row-index mask says so
+    y_gated_static = jnp.arange(st.M) >= (st.n_x - st.n_fc - 1)
+    l_y = jnp.where(
+        gating & y_gated_static, jnp.asarray(st.gate_l, dtype), -inf
+    )
+    u_y = jnp.where(gating & y_gated_static, jnp.asarray(st.gate_u, dtype), 0.0)
+
+    g_ub = m * (data.g_up - (st.baseline_pad if st.baseline else 0.0))
+    l_g, u_g = gated(-inf * jnp.ones(st.M * st.K, dtype), g_ub.reshape(-1))
+
+    l_s, u_s = gated(-inf * jnp.ones(1, dtype), jnp.zeros(1, dtype))
+
+    l_u = jnp.full(st.n, -st.u_max, dtype)
+    u_u = jnp.full(st.n, st.u_max, dtype)
+
+    l = jnp.concatenate([l_final, l_c, l_y, l_g, l_s, l_u])
+    u = jnp.concatenate([u_final, u_c, u_y, u_g, u_s, u_u])
+    return l, u
+
+
+def build_objective(st: SAAQPStatic, data: SAAQPData):
+    """P diagonal and q in variable order [u | y | s | t].
+
+    P has 2*dt*R blocks on the controls and the slack penalty at (-2, -2)
+    (car/driving.py:375-389, drone/drone_risk.py:376-391); q is the slack
+    penalty at -2."""
+    dtype = data.G.dtype
+    p_diag = jnp.concatenate(
+        [
+            data.p_diag_u.astype(dtype),
+            jnp.zeros(st.M, dtype),
+            jnp.array([st.slack_penalty, 0.0], dtype),
+        ]
+    )
+    q = jnp.zeros(st.n + st.M + 2, dtype).at[-2].set(st.slack_penalty)
+    # NOTE: the reference objective does NOT depend on the method — the
+    # baseline keeps the slack penalty on an unconstrained slack variable
+    # (drone_risk.py:376-391); we reproduce that (it does not affect u*).
+    return p_diag, q
+
+
+class SAAQPOps:
+    """Structured operator bundle consumed by ops.admm.admm_solve.
+
+    Variable order z = [u (n) | y (M) | s | t]; row order
+    [final | cvar | y-rows | sample blocks | slack | control]."""
+
+    def __init__(self, st: SAAQPStatic, data: SAAQPData, scp_iter, kkt_refine_iters=1):
+        self.st = st
+        self.data = data
+        self.dtype = data.G.dtype
+        self.m = jnp.asarray(st.row_scale, self.dtype)
+        self.scales = _row_scales(st, scp_iter, self.dtype)
+        self.p_diag, _ = build_objective(st, data)
+        self.Malpha = st.M * data.alpha
+        self.kkt_refine_iters = kkt_refine_iters
+
+    # -- pieces ------------------------------------------------------------
+    def _split_z(self, z):
+        n, M = self.st.n, self.st.M
+        return z[:n], z[n : n + M], z[n + M], z[n + M + 1]
+
+    def _split_w(self, w):
+        st = self.st
+        seg = _segments(st)
+        w_f = w[: seg[0]]
+        o = seg[0]
+        w_c = w[o]
+        o += 1
+        w_y = w[o : o + st.M]
+        o += st.M
+        w_G = w[o : o + st.M * st.K].reshape(st.M, st.K)
+        o += st.M * st.K
+        w_s = w[o]
+        o += 1
+        w_u = w[o:]
+        return w_f, w_c, w_y, w_G, w_s, w_u
+
+    # -- ADMM operator interface ------------------------------------------
+    def matvec_P(self, z):
+        return self.p_diag * z
+
+    def matvec_A(self, z):
+        st, sc, m = self.st, self.scales, self.m
+        u, y, s, t = self._split_z(z)
+        r_final = self.data.F @ u
+        r_c = sc.c * (jnp.sum(y) + self.Malpha * t)
+        r_y = sc.y * (-y - s)
+        # sample rows: m*(G_i u - gy*(y_i + t)) (gy=0 for baseline)
+        Gu = jnp.einsum("mkn,n->mk", self.data.G, u)
+        r_G = sc.g * m * (Gu - sc.gy * (y[:, None] + t))
+        r_s = sc.s * (-s)
+        r_u = u
+        return jnp.concatenate(
+            [r_final, r_c[None], r_y, r_G.reshape(-1), r_s[None], r_u]
+        )
+
+    def rmatvec_A(self, w):
+        st, sc, m = self.st, self.scales, self.m
+        w_f, w_c, w_y, w_G, w_s, w_u = self._split_w(w)
+        wG = sc.g * m * w_G  # (M, K) effective sample-row weights
+        u_part = self.data.F.T @ w_f + jnp.einsum("mkn,mk->n", self.data.G, wG) + w_u
+        row_sums = jnp.sum(wG, axis=1)  # (M,)
+        y_part = sc.c * w_c - sc.y * w_y - sc.gy * row_sums
+        s_part = -jnp.sum(sc.y * w_y) - sc.s * w_s
+        t_part = sc.c * self.Malpha * w_c - sc.gy * jnp.sum(row_sums)
+        return jnp.concatenate([u_part, y_part, s_part[None], t_part[None]])
+
+    # -- Ruiz structural norms --------------------------------------------
+    def _split_D(self, D):
+        n, M = self.st.n, self.st.M
+        return D[:n], D[n : n + M], D[n + M], D[n + M + 1]
+
+    def row_inf_norms(self, D):
+        """max_j |A_ij| D_j per row, computed segment-wise without
+        materializing A."""
+        st, sc, m = self.st, self.scales, self.m
+        D_u, D_y, D_s, D_t = self._split_D(D)
+        r_final = jnp.max(jnp.abs(self.data.F) * D_u[None, :], axis=1)
+        r_c = sc.c * jnp.maximum(jnp.max(D_y), self.Malpha * D_t)
+        r_y = sc.y * jnp.maximum(D_y, D_s)
+        gu = jnp.max(jnp.abs(self.data.G) * D_u[None, None, :], axis=2)  # (M,K)
+        r_G = sc.g * m * jnp.maximum(
+            gu, sc.gy * jnp.maximum(D_y[:, None], D_t)
+        )
+        r_s = sc.s * D_s
+        r_u = D_u
+        return jnp.concatenate(
+            [r_final, r_c[None], r_y, r_G.reshape(-1), r_s[None], r_u]
+        )
+
+    def col_inf_norms(self, E):
+        """max_i E_i |A_ij| per column, segment-wise."""
+        st, sc, m = self.st, self.scales, self.m
+        E_f, E_c, E_y, E_G, E_s, E_u = self._split_w(E)
+        c_u = jnp.maximum(
+            jnp.max(jnp.abs(self.data.F) * E_f[:, None], axis=0),
+            jnp.maximum(
+                sc.g * m * jnp.max(jnp.abs(self.data.G) * E_G[:, :, None], axis=(0, 1)),
+                E_u,
+            ),
+        )
+        c_y = jnp.maximum(
+            sc.c * E_c,
+            jnp.maximum(sc.y * E_y, sc.g * m * sc.gy * jnp.max(E_G, axis=1)),
+        )
+        c_s = jnp.maximum(jnp.max(sc.y * E_y), sc.s * E_s)
+        c_t = jnp.maximum(
+            sc.c * self.Malpha * E_c, sc.g * m * sc.gy * jnp.max(E_G)
+        )
+        return jnp.concatenate([c_u, c_y, c_s[None], c_t[None]])
+
+    def col_inf_norms_P(self, D):
+        return self.p_diag * D  # P is diagonal
+
+    # -- KKT factorization: Schur complement over samples ------------------
+    def _rho_segments(self, rho_vec):
+        return self._split_w(rho_vec)
+
+    def factorize(self, rho_vec, sigma_vec, cost_scale=1.0):
+        """Factor N = c*P + diag(sigma) + A^T R A by eliminating the y-block.
+
+        y-block: N_yy = D + beta * 11^T with
+          D_i = sigma_y_i + rho_y_i*sc_y_i^2 + gy^2 m^2 sum_k rho_G_ik
+          beta = rho_c * sc_c^2
+        Coupled block v = (u, s, t) solved densely after Sherman-Morrison
+        elimination of y."""
+        st, sc, m = self.st, self.scales, self.m
+        data = self.data
+        n, M, K = st.n, st.M, st.K
+        rho_f, rho_c, rho_y, rho_G, rho_s, rho_u = self._rho_segments(rho_vec)
+        sigma_u, sigma_y, sigma_s, sigma_t = self._split_D(sigma_vec)
+        dtype = self.dtype
+
+        g2 = (sc.g * m) ** 2  # effective squared sample-row scale
+        wG = g2 * rho_G  # (M, K)
+        rowsum_wG = jnp.sum(wG, axis=1)  # (M,)
+
+        # --- y block ---
+        D = sigma_y + rho_y * sc.y**2 + sc.gy**2 * rowsum_wG  # (M,)
+        beta = rho_c * sc.c**2
+
+        # --- coupled block N_vv (v = [u, s, t]) ---
+        # uu: c*P_u + sigma_u + F^T Rf F + sum_i G_i^T diag(wG_i) G_i + rho_u
+        B = jnp.einsum("mkn,mk,mkp->np", data.G, wG, data.G)
+        N_uu = (
+            jnp.diag(cost_scale * self.p_diag[:n] + sigma_u + rho_u)
+            + data.F.T @ (rho_f[:, None] * data.F)
+            + B
+        )
+        # u-t coupling: sum rows of sample blocks: -gy * sum_i G_i^T wG_i
+        Gw = jnp.einsum("mkn,mk->n", data.G, wG)  # sum_i G_i^T wG_i 1
+        N_ut = -sc.gy * Gw  # (n,)
+        N_us = jnp.zeros(n, dtype)
+        # ss: sigma_s + c*P_ss + sum_i rho_y sc_y^2 + rho_s sc_s^2
+        N_ss = (
+            cost_scale * self.p_diag[n + M]
+            + sigma_s
+            + jnp.sum(rho_y * sc.y**2)
+            + rho_s * sc.s**2
+        )
+        # st: 0 ; tt:
+        N_tt = (
+            sigma_t
+            + beta * self.Malpha**2
+            + sc.gy**2 * jnp.sum(rowsum_wG)
+        )
+        N_st = jnp.zeros((), dtype)
+
+        N_vv = jnp.zeros((n + 2, n + 2), dtype)
+        N_vv = N_vv.at[:n, :n].set(N_uu)
+        N_vv = N_vv.at[:n, n].set(N_us)
+        N_vv = N_vv.at[n, :n].set(N_us)
+        N_vv = N_vv.at[:n, n + 1].set(N_ut)
+        N_vv = N_vv.at[n + 1, :n].set(N_ut)
+        N_vv = N_vv.at[n, n].set(N_ss)
+        N_vv = N_vv.at[n, n + 1].set(N_st)
+        N_vv = N_vv.at[n + 1, n].set(N_st)
+        N_vv = N_vv.at[n + 1, n + 1].set(N_tt)
+
+        # --- y-v coupling C (M, n+2): row i = [C_u_i | C_s_i | C_t_i] ---
+        # y_i - u: -gy * G_i^T wG_i  (n,)
+        C_u = -sc.gy * jnp.einsum("mkn,mk->mn", data.G, wG)  # (M, n)
+        # y_i - s: rho_y_i sc_y_i^2
+        C_s = (rho_y * sc.y**2)[:, None]  # (M, 1)
+        # y_i - t: beta*Malpha + gy^2 * rowsum_wG_i
+        C_t = (beta * self.Malpha + sc.gy**2 * rowsum_wG)[:, None]
+        C = jnp.concatenate([C_u, C_s, C_t], axis=1)  # (M, n+2)
+
+        # --- Schur complement S = N_vv - C^T Nyy^-1 C via Sherman-Morrison ---
+        Dinv = 1.0 / D
+        DinvC = Dinv[:, None] * C  # (M, n+2)
+        CtDinvC = C.T @ DinvC
+        one_DinvC = jnp.sum(DinvC, axis=0)  # (n+2,) = 1^T D^-1 C
+        denom = 1.0 + beta * jnp.sum(Dinv)
+        S = N_vv - (CtDinvC - (beta / denom) * jnp.outer(one_DinvC, one_DinvC))
+        chol_S = jnp.linalg.cholesky(S)
+        return (chol_S, C, D, beta)
+
+    def _solve_yy(self, D, beta, r):
+        """(D + beta 11^T)^-1 r via Sherman-Morrison."""
+        Dinv_r = r / D
+        denom = 1.0 + beta * jnp.sum(1.0 / D)
+        return Dinv_r - (beta * jnp.sum(Dinv_r) / denom) / D
+
+    def kkt_solve(self, factor, rhs, rho_vec, sigma_vec, cost_scale=1.0):
+        chol_S, C, D, beta = factor
+        n, M = self.st.n, self.st.M
+        r_u = rhs[:n]
+        r_y = rhs[n : n + M]
+        r_st = rhs[n + M :]
+        r_v = jnp.concatenate([r_u, r_st])
+
+        def solve_once(r_v, r_y):
+            Nyy_inv_ry = self._solve_yy(D, beta, r_y)
+            rhs_v = r_v - C.T @ Nyy_inv_ry
+            t1 = jax.scipy.linalg.solve_triangular(chol_S, rhs_v, lower=True)
+            v = jax.scipy.linalg.solve_triangular(chol_S.T, t1, lower=False)
+            y = self._solve_yy(D, beta, r_y - C @ v)
+            return v, y
+
+        v, y = solve_once(r_v, r_y)
+        x = jnp.concatenate([v[:n], y, v[n:]])
+        for _ in range(self.kkt_refine_iters):
+            res = rhs - (
+                cost_scale * self.matvec_P(x)
+                + sigma_vec * x
+                + self.rmatvec_A(rho_vec * self.matvec_A(x))
+            )
+            dv, dy = solve_once(
+                jnp.concatenate([res[:n], res[n + M :]]), res[n : n + M]
+            )
+            x = x + jnp.concatenate([dv[:n], dy, dv[n:]])
+        return x
+
+
+def solve_saa_qp(
+    st: SAAQPStatic,
+    data: SAAQPData,
+    scp_iter,
+    cfg: SolverConfig,
+    x0=None,
+    y0=None,
+    scale: bool = True,
+    ruiz_iters: int = 5,
+) -> admm.QPSolution:
+    """Solve one SCP subproblem with the structured operator."""
+    ops = SAAQPOps(st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters)
+    _, q = build_objective(st, data)
+    l, u = build_bounds(st, data, scp_iter)
+    scaling = admm.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters) if scale else None
+    return admm.admm_solve(ops, q, l, u, cfg, x0=x0, y0=y0, scaling=scaling)

@@ -1,0 +1,204 @@
+"""Structured SAA QP vs an independent dense NumPy construction of the
+reference packing (car/driving.py:301-373, drone/drone_risk.py:282-374):
+matvec equivalence, Schur-complement KKT solve correctness, and full ADMM
+solution equality between the structured and dense paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riskaversetrajopt_tpu.core.config import DroneScenario, SolverConfig
+from riskaversetrajopt_tpu.models.drone import DroneModel
+from riskaversetrajopt_tpu.ops import admm
+from riskaversetrajopt_tpu.ops.rollout import linearize_batch
+from riskaversetrajopt_tpu.ops.saa_qp import (
+    SAAQPData,
+    SAAQPOps,
+    SAAQPStatic,
+    build_bounds,
+    build_objective,
+    pack_saa_qp_data,
+    solve_saa_qp,
+)
+
+
+def dense_reference_A(st, data, scp_iter):
+    """Independent dense transcription of the reference row layout
+    [final | cvar | y | sample blocks | slack | control] over variables
+    [u | y | s | t], with MULTIPLIER and gating semantics."""
+    n, M, K, m = st.n, st.M, st.K, st.row_scale
+    nv = n + M + 2
+    F = np.asarray(data.F)
+    G = np.asarray(data.G)
+    g_up = np.asarray(data.g_up)
+    Malpha = M * float(data.alpha)
+
+    rows = []
+    ls, us = [], []
+    # final
+    for r in range(st.n_fc):
+        row = np.zeros(nv)
+        row[:n] = F[r]
+        rows.append(row)
+        ls.append(float(data.f_rhs[r]))
+        us.append(float(data.f_rhs[r]))
+    # cvar row
+    row = np.zeros(nv)
+    if not st.baseline:
+        row[n : n + M] = 1.0
+        row[-1] = Malpha
+    rows.append(row)
+    ls.append(-np.inf)
+    us.append(0.0)
+    # y rows
+    for i in range(M):
+        row = np.zeros(nv)
+        if not st.baseline:
+            row[n + i] = -1.0
+            row[-2] = -1.0
+        rows.append(row)
+        ls.append(-np.inf)
+        us.append(0.0)
+    # sample rows
+    for i in range(M):
+        for k in range(K):
+            row = np.zeros(nv)
+            row[:n] = m * G[i, k]
+            if not st.baseline:
+                row[n + i] = -m
+                row[-1] = -m
+            rows.append(row)
+            ls.append(-np.inf)
+            us.append(
+                m * (g_up[i, k] - (st.baseline_pad if st.baseline else 0.0))
+            )
+    # slack row
+    row = np.zeros(nv)
+    if not st.baseline:
+        row[-2] = -1.0
+    rows.append(row)
+    ls.append(-np.inf)
+    us.append(0.0)
+
+    A = np.array(rows)
+    l = np.array(ls)
+    u = np.array(us)
+
+    # gating: rows >= n_x scaled/clamped (drone semantics)
+    if scp_iter < st.gate_iters:
+        A[st.n_x :] *= st.gate_scale
+        l[st.n_x :] = st.gate_l
+        u[st.n_x :] = st.gate_u
+
+    # control rows appended after (never gated)
+    A_ctrl = np.zeros((n, nv))
+    A_ctrl[:, :n] = np.eye(n)
+    A = np.vstack([A, A_ctrl])
+    l = np.concatenate([l, -st.u_max * np.ones(n)])
+    u = np.concatenate([u, st.u_max * np.ones(n)])
+    return A, l, u
+
+
+def make_problem(M=6, baseline=False, alpha=0.1):
+    scn = DroneScenario(M=M)
+    model = DroneModel(scn)
+    omegas = model.sample(jax.random.PRNGKey(0), M=M, method="saa")
+    us = model.initial_guess().astype(jnp.float64)
+    lin = linearize_batch(model, us, omegas)
+    n = model.S * model.n_u
+    p_diag_u = jnp.tile(2.0 * scn.dt * jnp.diag(scn.R), model.S)
+    data = pack_saa_qp_data(lin, us.reshape(-1), p_diag_u, alpha)
+    st = SAAQPStatic(
+        n=n,
+        M=M,
+        K=model.K,
+        n_fc=model.n_fc,
+        n_x=model.n_x,
+        row_scale=model.row_scale,
+        slack_penalty=10000.0,
+        u_max=scn.u_max,
+        baseline=baseline,
+        baseline_pad=1e-3,
+        gate_iters=2,
+        gate_scale=1e-7,
+        gate_l=-0.1,
+        gate_u=0.1,
+    )
+    return st, data
+
+
+@pytest.mark.parametrize("baseline", [False, True])
+@pytest.mark.parametrize("scp_iter", [0, 3])
+def test_structured_matvecs_match_dense(baseline, scp_iter):
+    st, data = make_problem(baseline=baseline)
+    A, l_d, u_d = dense_reference_A(st, data, scp_iter)
+    ops = SAAQPOps(st, data, jnp.asarray(scp_iter))
+    l, u = build_bounds(st, data, jnp.asarray(scp_iter))
+
+    np.testing.assert_allclose(np.asarray(l), l_d, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(u), u_d, rtol=1e-12)
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal(st.n + st.M + 2)
+    w = rng.standard_normal(A.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(ops.matvec_A(jnp.array(z))), A @ z, rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops.rmatvec_A(jnp.array(w))), A.T @ w, rtol=1e-10, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("scp_iter", [0, 3])
+def test_schur_kkt_solve_matches_dense(scp_iter):
+    st, data = make_problem()
+    A, l_d, u_d = dense_reference_A(st, data, scp_iter)
+    ops = SAAQPOps(st, data, jnp.asarray(scp_iter))
+    l, u = build_bounds(st, data, jnp.asarray(scp_iter))
+    p_diag, _ = build_objective(st, data)
+
+    nv = st.n + st.M + 2
+    sigma_vec = jnp.full(nv, 1e-6)
+    rho_vec = admm.rho_vector(l, u, 0.1)
+    N = (
+        np.diag(np.asarray(p_diag))
+        + np.diag(np.asarray(sigma_vec))
+        + A.T @ (np.asarray(rho_vec)[:, None] * A)
+    )
+    rng = np.random.default_rng(1)
+    rhs = rng.standard_normal(nv)
+    x_dense = np.linalg.solve(N, rhs)
+    factor = ops.factorize(rho_vec, sigma_vec)
+    x_schur = ops.kkt_solve(factor, jnp.array(rhs), rho_vec, sigma_vec)
+    np.testing.assert_allclose(np.asarray(x_schur), x_dense, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("baseline", [False, True])
+def test_structured_solution_matches_dense_admm(baseline):
+    """ADMM backend: structured and dense paths agree at OSQP-style moderate
+    tolerance (these degenerate epigraph QPs are LP-like, so ADMM converges
+    slowly in the tail — the IPM backend covers high accuracy; see
+    test_ipm.test_saa_qp_ipm_high_accuracy)."""
+    st, data = make_problem(baseline=baseline)
+    cfg = SolverConfig(eps_abs=1e-4, eps_rel=1e-4, max_iter=40000)
+    scp_iter = jnp.asarray(3)
+
+    sol_struct = solve_saa_qp(st, data, scp_iter, cfg)
+    assert bool(sol_struct.solved)
+
+    A, l_d, u_d = dense_reference_A(st, data, 3)
+    p_diag, q = build_objective(st, data)
+    P = jnp.diag(p_diag)
+    sol_dense = admm.solve_dense_qp(
+        P, q, jnp.array(A), jnp.array(l_d), jnp.array(u_d), cfg
+    )
+    assert bool(sol_dense.solved)
+    # both near-feasible and with comparable objective
+    for sol in (sol_struct, sol_dense):
+        Ax = A @ np.asarray(sol.x)
+        assert np.max(Ax - u_d) < 1e-3
+        assert np.max(l_d - Ax) < 1e-3
+    obj = lambda v: 0.5 * np.sum(np.asarray(p_diag) * v * v) + np.asarray(q) @ v
+    o_s, o_d = obj(np.asarray(sol_struct.x)), obj(np.asarray(sol_dense.x))
+    assert abs(o_s - o_d) <= 1e-3 * (1 + abs(o_d))

@@ -38,8 +38,12 @@ class SCPConfig:
     gate_iters: int = 2
     # Row-scale applied to gated constraint rows (drone: 1e-7; car: 0.0).
     gate_row_scale: float = 1e-7
-    # Bound clamp applied to gated rows (drone: +/-0.1; car: 0.0).
-    gate_bound: float = 0.1
+    # Bounds applied to gated rows. Drone: (-0.1, 0.1); car: (-inf, 0.0) — the
+    # reference's `ls[n_x:] *= 0` on -inf lower bounds produces NaNs that
+    # OSQP's c_max clamping turns back into -infinity (see
+    # ops/saa_qp.py module docstring).
+    gate_bound_l: float = -0.1
+    gate_bound_u: float = 0.1
 
 
 @dataclass(frozen=True)

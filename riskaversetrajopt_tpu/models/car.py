@@ -37,6 +37,8 @@ class CarModel:
         self.K = scn.S  # one separation-distance constraint per step
         self.n_fc = 4  # ego final state rows (driving.py:216-221)
         self.row_scale = 1.0  # car packing applies no multiplier
+        # slack objective weight (driving.py:386-389)
+        self.slack_penalty = 1000.0
         self._state_init = scn.state_init
         self._goal = jnp.concatenate((scn.position_ego_goal, scn.velocity_ego_goal))
 
@@ -135,6 +137,21 @@ class CarModel:
             omega_speed=omegas_speed,
             omega_repulsive=omegas_repulsive,
             dWs=dWs,
+        )
+
+    def default_scp_config(self):
+        """Reference SCP knobs: 15 iterations (driving.py:60), first
+        iteration gated by zeroing rows — bounds become (-inf, 0) via the
+        reference's NaN-through-OSQP quirk (driving.py:411-415, see
+        ops/saa_qp.py docstring)."""
+        from riskaversetrajopt_tpu.core.config import SCPConfig
+
+        return SCPConfig(
+            num_iters=15,
+            gate_iters=1,
+            gate_row_scale=0.0,
+            gate_bound_l=-jnp.inf,
+            gate_bound_u=0.0,
         )
 
     # -- initial guess -----------------------------------------------------

@@ -39,6 +39,8 @@ class DroneModel:
         # Conditioning multiplier applied to CVaR sample rows
         # (drone_risk.py:310,353 MULTIPLIER = 0.01).
         self.row_scale = 0.01
+        # slack objective weight (drone_risk.py:388-390)
+        self.slack_penalty = 10000.0
         self._fb_gain = scn.feedback_gain
         self._obs_positions = scn.obs_positions
         self._x_init = scn.x_init
@@ -124,6 +126,20 @@ class DroneModel:
         else:
             raise ValueError(f"unknown sampling method: {method}")
         return DroneOmega(mass=masses, obs_Q=obs_Q, dWs=dWs)
+
+    def default_scp_config(self):
+        """Reference SCP knobs: 60 iterations (drone_risk.py:56), first 2
+        iterations gated with row scale 1e-7 and bounds +/-0.1
+        (drone_risk.py:413-417)."""
+        from riskaversetrajopt_tpu.core.config import SCPConfig
+
+        return SCPConfig(
+            num_iters=60,
+            gate_iters=2,
+            gate_row_scale=1e-7,
+            gate_bound_l=-0.1,
+            gate_bound_u=0.1,
+        )
 
     # -- initial guess -----------------------------------------------------
     def initial_guess(self):

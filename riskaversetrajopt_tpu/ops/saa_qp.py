@@ -145,8 +145,14 @@ def build_bounds(st: SAAQPStatic, data: SAAQPData, scp_iter):
         gu = jnp.full_like(u_norm, st.gate_u)
         return jnp.where(gating, gl, l_norm), jnp.where(gating, gu, u_norm)
 
-    # CVaR row + y rows + slack row: normally (-inf, 0]
-    l_c, u_c = gated(-inf * jnp.ones(1, dtype), jnp.zeros(1, dtype))
+    # CVaR row: gated only when its absolute row index >= n_x (true for the
+    # drone where n_fc == n_x, false for the car where n_fc = 4 < n_x = 8 —
+    # the reference car keeps the CVaR row live at iteration 0)
+    c_gated = st.n_fc >= st.n_x
+    l_c = jnp.where(
+        gating & c_gated, jnp.full(1, st.gate_l, dtype), -inf * jnp.ones(1, dtype)
+    )
+    u_c = jnp.where(gating & c_gated, jnp.full(1, st.gate_u, dtype), jnp.zeros(1, dtype))
     # y rows gate only where the static row-index mask says so
     y_gated_static = jnp.arange(st.M) >= (st.n_x - st.n_fc - 1)
     l_y = jnp.where(

@@ -1,0 +1,210 @@
+"""SCP driver: the full sequential-convex-programming loop as one XLA program.
+
+The reference's SCP loop (car/driving.py:467-530, drone/drone_risk.py:495-540)
+alternates a jitted JAX "define" phase with a host-side OSQP "solve" phase,
+crossing the Python<->C boundary twice per iteration and shipping a dense
+(M*K+...) x (n+M+2) matrix through scipy.sparse each time. Here one SCP
+iteration = linearize (scan+vmap rollout) + pack (structured epigraph) +
+IPM/ADMM solve, all inside a single `lax.scan` over iterations — zero host
+round-trips for the entire solve, warm-startable, and vmappable over
+independent problem instances (the (alpha x repeat) sweep axis,
+SURVEY.md section 2.3 "batched-problem parallelism").
+
+Iteration gating reproduces the reference exactly (car/driving.py:411-415,
+drone/drone_risk.py:413-417) via the structured operator's gate masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riskaversetrajopt_tpu.core.config import SCPConfig, SolverConfig
+from riskaversetrajopt_tpu.ops import admm
+from riskaversetrajopt_tpu.ops.cvar import avar
+from riskaversetrajopt_tpu.ops.ipm import IPMConfig, solve_qp_ipm
+from riskaversetrajopt_tpu.ops.rollout import linearize_batch, rollout_batch
+from riskaversetrajopt_tpu.ops.saa_qp import (
+    SAAQPData,
+    SAAQPOps,
+    SAAQPStatic,
+    build_bounds,
+    build_objective,
+    pack_saa_qp_data,
+    solve_saa_qp,
+)
+
+
+class SCPResult(NamedTuple):
+    us: jnp.ndarray  # (S, n_u) final controls
+    xs: jnp.ndarray  # (M, S+1, n_x) trajectories under the final controls
+    t_risk: jnp.ndarray  # CVaR epigraph t at the last iteration
+    l2_errors: jnp.ndarray  # (num_iters,) relative control-update errors
+    qp_iters: jnp.ndarray  # (num_iters,) solver iterations per SCP step
+    qp_solved: jnp.ndarray  # (num_iters,) solver convergence flags
+    us_history: jnp.ndarray  # (num_iters, S, n_u)
+
+
+def l2_error_us(us_mat, us_mat_prev):
+    """Relative L2 control-update error (car/driving.py:459-464)."""
+    err = jnp.mean(jnp.linalg.norm(us_mat - us_mat_prev, axis=-1))
+    return err / jnp.mean(jnp.linalg.norm(us_mat, axis=-1))
+
+
+class SAATrajOpt:
+    """User-facing facade bundling a model with solver/SCP configuration.
+
+    Typical use:
+        opt = SAATrajOpt(DroneModel(), method='saa')
+        omegas = opt.sample(jax.random.PRNGKey(0), M=1000)
+        res = opt.solve(omegas, alpha=0.1)           # jitted end-to-end
+    """
+
+    def __init__(
+        self,
+        model,
+        method: str = "saa",
+        scp_cfg: Optional[SCPConfig] = None,
+        qp_backend: str = "ipm",
+        ipm_cfg: Optional[IPMConfig] = None,
+        admm_cfg: Optional[SolverConfig] = None,
+        slack_penalty: Optional[float] = None,
+        baseline_pad: float = 0.0,
+        dtype=jnp.float64,
+    ):
+        self.model = model
+        self.method = method
+        self.qp_backend = qp_backend
+        # tol 1e-5 (relative merit) is ~100x tighter than the reference's
+        # OSQP_TOL and reliably attainable on the degenerate epigraph QPs
+        self.ipm_cfg = ipm_cfg or IPMConfig(tol=1e-5, max_iter=40)
+        self.admm_cfg = admm_cfg or SolverConfig()
+        self.dtype = dtype
+        scn = model.scn
+        n = model.S * model.n_u
+        if scp_cfg is None:
+            scp_cfg = model.default_scp_config()
+        self.scp_cfg = scp_cfg
+        # objective diagonal: 2*dt*R per step (car/driving.py:375-389)
+        self.p_diag_u = jnp.tile(2.0 * model.dt * jnp.diag(scn.R), model.S).astype(
+            dtype
+        )
+        self.static = SAAQPStatic(
+            n=n,
+            M=-1,  # filled in per-solve (depends on the sample count)
+            K=model.K,
+            n_fc=model.n_fc,
+            n_x=model.n_x,
+            row_scale=model.row_scale,
+            slack_penalty=(
+                slack_penalty
+                if slack_penalty is not None
+                else model.slack_penalty
+            ),
+            u_max=float(scn.u_max),
+            baseline=(method == "baseline"),
+            baseline_pad=baseline_pad,
+            gate_iters=scp_cfg.gate_iters,
+            gate_scale=scp_cfg.gate_row_scale,
+            gate_l=scp_cfg.gate_bound_l,
+            gate_u=scp_cfg.gate_bound_u,
+        )
+
+    # -- sampling ----------------------------------------------------------
+    def sample(self, key, M: int, method: Optional[str] = None):
+        return self.model.sample(key, M, method or self.method)
+
+    # -- one SCP iteration (define + solve) --------------------------------
+    def _static_for(self, M: int) -> SAAQPStatic:
+        return self.static._replace(M=M)
+
+    def _define(self, us_prev, omegas, alpha, M):
+        us_prev_vec = us_prev.reshape(-1)
+        lin = linearize_batch(self.model, us_prev, omegas)
+        return pack_saa_qp_data(lin, us_prev_vec, self.p_diag_u, alpha)
+
+    def _solve_qp(self, st, data, scp_iter, warm=None):
+        if self.qp_backend == "ipm":
+            ops = SAAQPOps(st, data, scp_iter)
+            _, q = build_objective(st, data)
+            l, u = build_bounds(st, data, scp_iter)
+            return solve_qp_ipm(ops, q, l, u, n_eq=st.n_fc, cfg=self.ipm_cfg)
+        elif self.qp_backend == "admm":
+            x0 = warm[0] if warm is not None else None
+            y0 = warm[1] if warm is not None else None
+            return solve_saa_qp(st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0)
+        raise ValueError(f"unknown qp backend {self.qp_backend}")
+
+    # -- full SCP solve ----------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def solve(self, omegas, alpha, M: Optional[int] = None) -> SCPResult:
+        """Run the full SCP loop (fixed iteration count, reference semantics:
+        convergence is monitored but not used for termination,
+        car/driving.py:500-513)."""
+        if M is None:
+            M = jax.tree.leaves(omegas)[0].shape[0]
+        st = self._static_for(M)
+        model = self.model
+        n = st.n
+        us0 = model.initial_guess().astype(self.dtype)
+        nv = n + M + 2
+        warm0 = (jnp.zeros(nv, self.dtype), jnp.zeros(st_total_rows(st), self.dtype))
+
+        def step(carry, scp_iter):
+            us_prev, warm = carry
+            data = self._define(us_prev, omegas, alpha, M)
+            sol = self._solve_qp(st, data, scp_iter, warm)
+            us = sol.x[:n].reshape(model.S, model.n_u)
+            l2 = l2_error_us(us, us_prev)
+            return (us, (sol.x, sol.y)), (
+                l2,
+                sol.x[-1],
+                sol.iters,
+                sol.solved,
+                us,
+            )
+
+        (us, _), (l2s, t_risks, qp_iters, qp_solved, us_hist) = jax.lax.scan(
+            step, (us0, warm0), jnp.arange(self.scp_cfg.num_iters)
+        )
+        xs = rollout_batch(model, us, omegas)
+        return SCPResult(
+            us=us,
+            xs=xs,
+            t_risk=t_risks[-1],
+            l2_errors=l2s,
+            qp_iters=qp_iters,
+            qp_solved=qp_solved,
+            us_history=us_hist,
+        )
+
+    # -- Monte-Carlo validation oracle -------------------------------------
+    def monte_carlo(self, us, omegas, alpha, tol: Optional[float] = None):
+        """Out-of-sample validation (car/driving.py:618-740,
+        drone/drone_risk.py:643-762): per-sample max constraint <= tol + 1e-6
+        => safe; returns safe fraction, AVaR of the max-constraint statistic,
+        and the control cost."""
+        model = self.model
+        tol = model.scn.osqp_tol if tol is None else tol
+
+        def one(om):
+            from riskaversetrajopt_tpu.ops.rollout import rollout
+
+            xs = rollout(model, us, om)
+            g = model.ineq_constraints(xs, om)
+            return jnp.max(g) - tol
+
+        max_cons = jax.vmap(one)(omegas)
+        safe = jnp.mean((max_cons <= 1e-6).astype(self.dtype))
+        avar_val = avar(max_cons, alpha)
+        cost = model.control_cost(us)
+        return {"safe_frac": safe, "avar": avar_val, "cost": cost,
+                "max_constraints": max_cons}
+
+
+def st_total_rows(st: SAAQPStatic) -> int:
+    return st.n_fc + 1 + st.M + st.M * st.K + 1 + st.n

@@ -179,15 +179,21 @@ def test_structured_solution_matches_dense_admm(baseline):
     """ADMM backend: structured and dense paths agree at OSQP-style moderate
     tolerance (these degenerate epigraph QPs are LP-like, so ADMM converges
     slowly in the tail — the IPM backend covers high accuracy; see
-    test_ipm.test_saa_qp_ipm_high_accuracy)."""
+    test_ipm.test_saa_qp_ipm_high_accuracy).
+
+    The baseline method is tested at a gated iteration: ungated baseline
+    rows linearized around the initial guess are primal-infeasible (no CVaR
+    slack; the reference would print '[solve]: Problem infeasible.' there,
+    drone_risk.py:458-459)."""
     st, data = make_problem(baseline=baseline)
     cfg = SolverConfig(eps_abs=1e-4, eps_rel=1e-4, max_iter=40000)
-    scp_iter = jnp.asarray(3)
+    it = 0 if baseline else 3
+    scp_iter = jnp.asarray(it)
 
     sol_struct = solve_saa_qp(st, data, scp_iter, cfg)
     assert bool(sol_struct.solved)
 
-    A, l_d, u_d = dense_reference_A(st, data, 3)
+    A, l_d, u_d = dense_reference_A(st, data, it)
     p_diag, q = build_objective(st, data)
     P = jnp.diag(p_diag)
     sol_dense = admm.solve_dense_qp(

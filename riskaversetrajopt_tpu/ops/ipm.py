@@ -98,7 +98,10 @@ def solve_qp_ipm(
         )
         + 1.0
     )
-    _W_MAX = 1e13  # barrier-weight safeguard
+    # barrier-weight safeguard, dtype-aware: f32 KKT factorizations lose the
+    # small-pivot information once weights pass ~1e6 (TPU runs f32; CPU tests
+    # run f64)
+    _W_MAX = 1e13 if dtype == jnp.float64 else 3e6
 
     class _S(NamedTuple):
         x: jnp.ndarray

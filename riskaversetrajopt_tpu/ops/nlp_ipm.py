@@ -1,0 +1,433 @@
+"""Nonlinear-programming interior-point solver (IPOPT-equivalent), fully
+jitted: replaces the reference's ipyopt/IPOPT dependency for the hopper
+direct transcription (hopper/hopper.py:646-669) and the drone Gaussian NLP
+(drone/drone_gaussian.py:503-526).
+
+The reference pays a C++ -> Python -> XLA round trip per IPOPT callback
+evaluation on a dense 400-var/~1100-row problem (SURVEY.md section 3.3); here
+the entire barrier algorithm — constraint/Jacobian/Lagrangian-Hessian
+evaluation, the reduced Newton solve, fraction-to-boundary line search and the
+monotone Fiacco-McCormick mu-schedule — is one `lax.while_loop` on-chip.
+
+Problem form:
+    min f(Z)   s.t.  gL <= g(Z) <= gU   (first n_eq rows equalities),
+                     xL <= Z <= xU
+Box bounds are folded in as identity constraint rows; inequality rows get
+slacks with log barriers on their finite sides; equality rows are eliminated
+exactly through a dense Schur complement (same algebra as ops/ipm.py).
+
+Newton system per iteration (W_l = Lam_l S_l^-1 etc., D = W_l + W_u):
+    [H + tau I + J_in^T D J_in] dZ + J_eq^T dy = -r
+    J_eq dZ = -r_eq
+Step acceptance: backtracking Armijo on the barrier merit
+    phi = f - mu sum(log s) + nu * ||constraint residuals||_1
+with adaptive regularization tau (inertia-correction stand-in) and adaptive
+penalty nu.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class NLPConfig(NamedTuple):
+    tol: float = 1e-6
+    max_iter: int = 300
+    mu_init: float = 1e-1
+    kappa_mu: float = 0.2  # IPOPT linear mu decrease factor
+    theta_mu: float = 1.5  # IPOPT superlinear mu exponent
+    kappa_eps: float = 10.0  # barrier-problem tolerance = kappa_eps * mu
+    tau_min: float = 0.99  # fraction-to-boundary floor
+    bound_push: float = 1e-2  # initial point push-off from bounds
+    tau_reg_init: float = 1e-8
+    tau_reg_max: float = 1e6
+    max_backtracks: int = 12
+    nu_init: float = 1.0
+    nu_margin: float = 10.0
+    # IPOPT gradient-based NLP scaling (nlp_scaling_max_gradient): scale f
+    # and each constraint row so first-derivative magnitudes at Z0 are <= this
+    # (essential for the hopper's 1e7 slack-penalty gradient)
+    scaling_max_gradient: float = 100.0
+
+
+class NLPResult(NamedTuple):
+    Z: jnp.ndarray
+    y_eq: jnp.ndarray
+    lam_l: jnp.ndarray
+    lam_u: jnp.ndarray
+    iters: jnp.ndarray
+    prim_res: jnp.ndarray
+    dual_res: jnp.ndarray
+    comp_res: jnp.ndarray
+    solved: jnp.ndarray
+    f_val: jnp.ndarray
+
+
+def solve_nlp(
+    f_fn: Callable,
+    g_fn: Callable,
+    g_L,
+    g_U,
+    n_eq: int,
+    x_L,
+    x_U,
+    Z0,
+    cfg: NLPConfig = NLPConfig(),
+) -> NLPResult:
+    """Solve the NLP from initial guess Z0 (the reference's two-phase
+    baseline->SAA warm-start workflow maps to calling this twice,
+    hopper/README.md:9-25)."""
+    dtype = Z0.dtype
+    n = Z0.shape[0]
+    m_g = g_L.shape[0]
+
+    # -- reclassify zero-gap rows as equalities ----------------------------
+    # IPOPT treats any row with gL == gU as an equality; rows like the
+    # hopper's flight-phase contact-force pins (l = u = 0 inside the
+    # "inequality" section, hopper.py:416-421) would otherwise make the slack
+    # barrier infeasible (s_l + s_u must equal u - l = 0 > impossible).
+    # Bounds must be concrete here (they are problem data, not traced).
+    import numpy as _np
+
+    gLn = _np.asarray(g_L)
+    gUn = _np.asarray(g_U)
+    eq_mask_np = (gUn - gLn) <= 1e-12
+    eq_mask_np[:n_eq] = True
+    perm = _np.concatenate(
+        [_np.where(eq_mask_np)[0], _np.where(~eq_mask_np)[0]]
+    )
+    n_eq = int(eq_mask_np.sum())
+    perm_j = jnp.asarray(perm)
+    g_fn_orig = g_fn
+    g_fn = lambda Z: g_fn_orig(Z)[perm_j]
+    g_L = jnp.asarray(gLn[perm], dtype)
+    g_U = jnp.asarray(gUn[perm], dtype)
+
+    # -- IPOPT gradient-based problem scaling at Z0 ------------------------
+    # (nlp_scaling_max_gradient: scale the objective and each constraint row
+    # so that first derivatives at the start point are at most g_max; without
+    # this the hopper's 1e7 slack gradient swamps the barrier algebra)
+    g_max = cfg.scaling_max_gradient
+    gf0 = jax.grad(f_fn)(Z0)
+    scale_f = jnp.minimum(1.0, g_max / jnp.maximum(jnp.max(jnp.abs(gf0)), 1e-8))
+    if m_g > 0:
+        J_g0 = jax.jacfwd(g_fn)(Z0)
+        row_norms0 = jnp.max(jnp.abs(J_g0), axis=1)
+        row_scale = jnp.minimum(1.0, g_max / jnp.maximum(row_norms0, 1e-8))
+    else:
+        row_scale = jnp.zeros(0, dtype)
+
+    f_raw, g_raw = f_fn, g_fn
+    f_fn = lambda Z: scale_f * f_raw(Z)
+    g_fn = lambda Z: row_scale * g_raw(Z)
+    big = 1e15
+    g_L = jnp.where(jnp.abs(g_L) < 1e14, row_scale * g_L, g_L)
+    g_U = jnp.where(jnp.abs(g_U) < 1e14, row_scale * g_U, g_U)
+
+    # fold box bounds in as identity rows after the g rows
+    def c_fn(Z):
+        return jnp.concatenate([g_fn(Z), Z])
+
+    c_L = jnp.concatenate([g_L, x_L]).astype(dtype)
+    c_U = jnp.concatenate([g_U, x_U]).astype(dtype)
+    m = m_g + n
+    mi = m - n_eq
+
+    b_eq = c_L[:n_eq]
+    l_in = c_L[n_eq:]
+    u_in = c_U[n_eq:]
+    has_l = l_in > -1e14  # reference uses -1e15 as "no bound"
+    has_u = u_in < 1e14
+    n_sides = jnp.maximum(jnp.sum(has_l) + jnp.sum(has_u), 1).astype(dtype)
+
+    grad_f = jax.grad(f_fn)
+    jac_c = jax.jacfwd(c_fn)
+
+    def lagrangian(Z, y_eq, lam_in):
+        c = c_fn(Z)
+        return f_fn(Z) + jnp.dot(y_eq, c[:n_eq]) + jnp.dot(lam_in, c[n_eq:])
+
+    hess_lag = jax.hessian(lagrangian, argnums=0)
+
+    # -- initial point ------------------------------------------------------
+    push = cfg.bound_push * jnp.maximum(1.0, jnp.abs(x_L))
+    Z_init = jnp.clip(
+        Z0,
+        jnp.where(x_L > -1e14, x_L + push, -jnp.inf),
+        jnp.where(x_U < 1e14, x_U - cfg.bound_push * jnp.maximum(1.0, jnp.abs(x_U)), jnp.inf),
+    )
+    c0 = c_fn(Z_init)[n_eq:]
+    s_l0 = jnp.where(has_l, jnp.maximum(c0 - l_in, cfg.bound_push), 1.0)
+    s_u0 = jnp.where(has_u, jnp.maximum(u_in - c0, cfg.bound_push), 1.0)
+    lam0 = jnp.where(has_l | has_u, 1.0, 0.0)
+
+    class _S(NamedTuple):
+        Z: jnp.ndarray
+        y_eq: jnp.ndarray
+        s_l: jnp.ndarray
+        s_u: jnp.ndarray
+        lam_l: jnp.ndarray
+        lam_u: jnp.ndarray
+        mu: jnp.ndarray
+        tau_reg: jnp.ndarray
+        nu: jnp.ndarray
+        it: jnp.ndarray
+        prim: jnp.ndarray
+        dual: jnp.ndarray
+        comp: jnp.ndarray
+        done: jnp.ndarray
+
+    def kkt_errors(Z, y_eq, s_l, s_u, lam_l, lam_u, mu):
+        c = c_fn(Z)
+        J = jac_c(Z)
+        r_eq = c[:n_eq] - b_eq
+        ci = c[n_eq:]
+        r_l = jnp.where(has_l, ci - s_l - l_in, 0.0)
+        r_u = jnp.where(has_u, u_in - ci - s_u, 0.0)
+        lam_in = lam_u - lam_l
+        r_d = grad_f(Z) + J[:n_eq].T @ y_eq + J[n_eq:].T @ lam_in
+        comp = jnp.maximum(
+            jnp.max(jnp.abs(jnp.where(has_l, s_l * lam_l - mu, 0.0))),
+            jnp.max(jnp.abs(jnp.where(has_u, s_u * lam_u - mu, 0.0))),
+        )
+        # IPOPT scaling s_d for the dual residual
+        lam_sum = jnp.sum(jnp.abs(lam_l)) + jnp.sum(jnp.abs(lam_u)) + jnp.sum(
+            jnp.abs(y_eq)
+        )
+        s_d = jnp.maximum(100.0, lam_sum / jnp.maximum(m, 1)) / 100.0
+        prim = jnp.maximum(
+            jnp.max(jnp.abs(r_eq), initial=0.0),
+            jnp.maximum(jnp.max(jnp.abs(r_l)), jnp.max(jnp.abs(r_u))),
+        )
+        dual = jnp.max(jnp.abs(r_d)) / s_d
+        return c, J, r_eq, r_l, r_u, r_d, prim, dual, comp
+
+    def merit(Z, s_l, s_u, mu, nu):
+        c = c_fn(Z)
+        barrier = -mu * (
+            jnp.sum(jnp.where(has_l, jnp.log(jnp.maximum(s_l, 1e-300)), 0.0))
+            + jnp.sum(jnp.where(has_u, jnp.log(jnp.maximum(s_u, 1e-300)), 0.0))
+        )
+        theta = (
+            jnp.sum(jnp.abs(c[:n_eq] - b_eq))
+            + jnp.sum(jnp.abs(jnp.where(has_l, c[n_eq:] - s_l - l_in, 0.0)))
+            + jnp.sum(jnp.abs(jnp.where(has_u, u_in - c[n_eq:] - s_u, 0.0)))
+        )
+        return f_fn(Z) + barrier + nu * theta, theta
+
+    def body(s: _S):
+        c, J, r_eq, r_l, r_u, r_d, prim, dual, comp = kkt_errors(
+            s.Z, s.y_eq, s.s_l, s.s_u, s.lam_l, s.lam_u, s.mu
+        )
+        J_eq = J[:n_eq]
+        J_in = J[n_eq:]
+
+        H = hess_lag(s.Z, s.y_eq, s.lam_u - s.lam_l)
+        H = 0.5 * (H + H.T) + s.tau_reg * jnp.eye(n, dtype=dtype)
+
+        w_l = jnp.where(has_l, s.lam_l / s.s_l, 0.0)
+        w_u = jnp.where(has_u, s.lam_u / s.s_u, 0.0)
+        D = w_l + w_u
+
+        # complementarity residuals for the centered step
+        r_cl = jnp.where(has_l, s.s_l * s.lam_l - s.mu, 0.0)
+        r_cu = jnp.where(has_u, s.s_u * s.lam_u - s.mu, 0.0)
+
+        v = (
+            jnp.where(has_u, r_cu / s.s_u, 0.0)
+            + w_u * r_u
+            - jnp.where(has_l, r_cl / s.s_l, 0.0)
+            - w_l * r_l
+        )
+        R = -r_d + J_in.T @ v
+        N = H + J_in.T @ (D[:, None] * J_in)
+        chol = jnp.linalg.cholesky(N)
+
+        def nsolve(r):
+            t = jax.scipy.linalg.solve_triangular(chol, r, lower=True)
+            return jax.scipy.linalg.solve_triangular(chol.T, t, lower=False)
+
+        NiR = nsolve(R)
+        NiJeqT = jax.vmap(nsolve)(J_eq).T if n_eq > 0 else None  # (n, n_eq)
+        if n_eq > 0:
+            S_eq = J_eq @ NiJeqT + 1e-10 * jnp.eye(n_eq, dtype=dtype)
+            # from J_eq dZ = -r_eq with dZ = NiR - NiJeqT dy
+            dy_eq = jnp.linalg.solve(S_eq, J_eq @ NiR + r_eq)
+            dZ = NiR - NiJeqT @ dy_eq
+        else:
+            dy_eq = s.y_eq
+            dZ = NiR
+
+        JdZ = J_in @ dZ
+        ds_l = jnp.where(has_l, JdZ + r_l, 0.0)
+        ds_u = jnp.where(has_u, r_u - JdZ, 0.0)
+        dlam_l = jnp.where(has_l, -(r_cl + s.lam_l * ds_l) / s.s_l, 0.0)
+        dlam_u = jnp.where(has_u, -(r_cu + s.lam_u * ds_u) / s.s_u, 0.0)
+
+        # fraction-to-boundary
+        tau_ftb = jnp.maximum(cfg.tau_min, 1.0 - s.mu)
+
+        def max_step(vv, dv, mask):
+            ratio = jnp.where(
+                mask & (dv < 0), -vv / jnp.where(dv < 0, dv, -1.0), jnp.inf
+            )
+            return jnp.minimum(1.0, tau_ftb * jnp.min(ratio, initial=jnp.inf))
+
+        a_p_max = jnp.minimum(max_step(s.s_l, ds_l, has_l), max_step(s.s_u, ds_u, has_u))
+        a_d = jnp.minimum(
+            max_step(s.lam_l, dlam_l, has_l), max_step(s.lam_u, dlam_u, has_u)
+        )
+
+        # penalty update: nu must dominate the multipliers
+        lam_norm = jnp.maximum(
+            jnp.max(jnp.abs(dy_eq + s.y_eq), initial=0.0),
+            jnp.maximum(jnp.max(jnp.abs(s.lam_l + dlam_l)), jnp.max(jnp.abs(s.lam_u + dlam_u))),
+        )
+        nu = jnp.maximum(s.nu, cfg.nu_margin * lam_norm)
+
+        # backtracking Armijo on the merit
+        phi0, theta0 = merit(s.Z, s.s_l, s.s_u, s.mu, nu)
+
+        def try_alpha(a):
+            Zt = s.Z + a * dZ
+            slt = s.s_l + a * ds_l
+            sut = s.s_u + a * ds_u
+            phi, theta = merit(Zt, slt, sut, s.mu, nu)
+            finite = jnp.isfinite(phi)
+            # accept on merit decrease or violation decrease
+            ok = finite & (
+                (phi <= phi0 - 1e-8 * a * jnp.abs(phi0))
+                | (theta <= 0.99 * theta0)
+            )
+            return ok
+
+        def bt_cond(carry):
+            a, ok, k = carry
+            return jnp.logical_not(ok) & (k < cfg.max_backtracks)
+
+        def bt_step(carry):
+            a, ok, k = carry
+            a_try = a * 0.5
+            return (a_try, try_alpha(a_try), k + 1)
+
+        ok0 = try_alpha(a_p_max)
+        a_p, ok, n_bt = lax.while_loop(bt_cond, bt_step, (a_p_max, ok0, 0))
+
+        Z_new = s.Z + a_p * dZ
+        s_l_new = jnp.where(has_l, s.s_l + a_p * ds_l, 1.0)
+        s_u_new = jnp.where(has_u, s.s_u + a_p * ds_u, 1.0)
+        lam_l_new = jnp.where(has_l, s.lam_l + a_d * dlam_l, 0.0)
+        lam_u_new = jnp.where(has_u, s.lam_u + a_d * dlam_u, 0.0)
+        y_eq_new = s.y_eq + a_d * (dy_eq if n_eq > 0 else 0.0)
+
+        # IPOPT kappa_sigma multiplier safeguard (IPOPT eq. 16): keep each
+        # bound multiplier within a factor kappa_sigma of mu/s so duals
+        # cannot run away from the primal iterates
+        k_sig = 1e10
+        lam_l_new = jnp.where(
+            has_l,
+            jnp.clip(
+                lam_l_new, s.mu / (k_sig * s_l_new), k_sig * s.mu / s_l_new
+            ),
+            0.0,
+        )
+        lam_u_new = jnp.where(
+            has_u,
+            jnp.clip(
+                lam_u_new, s.mu / (k_sig * s_u_new), k_sig * s.mu / s_u_new
+            ),
+            0.0,
+        )
+
+        # reject entirely if line search failed: raise regularization instead
+        step_ok = ok
+        pick = lambda new, old: jnp.where(step_ok, new, old)
+        Z_new = pick(Z_new, s.Z)
+        s_l_new = pick(s_l_new, s.s_l)
+        s_u_new = pick(s_u_new, s.s_u)
+        lam_l_new = pick(lam_l_new, s.lam_l)
+        lam_u_new = pick(lam_u_new, s.lam_u)
+        y_eq_new = pick(y_eq_new, s.y_eq)
+        tau_reg = jnp.where(
+            step_ok,
+            jnp.maximum(s.tau_reg / 3.0, cfg.tau_reg_init),
+            jnp.minimum(jnp.maximum(s.tau_reg * 10.0, 1e-6), cfg.tau_reg_max),
+        )
+
+        # mu update (monotone Fiacco-McCormick, IPOPT eq. 7)
+        _, _, _, _, _, _, prim_n, dual_n, comp_n = kkt_errors(
+            Z_new, y_eq_new, s_l_new, s_u_new, lam_l_new, lam_u_new, s.mu
+        )
+        err_mu = jnp.maximum(prim_n, jnp.maximum(dual_n, comp_n))
+        mu_new = jnp.where(
+            err_mu <= cfg.kappa_eps * s.mu,
+            jnp.maximum(
+                cfg.tol / 10.0,
+                jnp.minimum(cfg.kappa_mu * s.mu, s.mu**cfg.theta_mu),
+            ),
+            s.mu,
+        )
+
+        # overall convergence at mu -> 0: errors with mu=0 complementarity
+        _, _, _, _, _, _, prim0, dual0, comp0 = kkt_errors(
+            Z_new, y_eq_new, s_l_new, s_u_new, lam_l_new, lam_u_new, 0.0
+        )
+        done = (
+            (jnp.maximum(prim0, jnp.maximum(dual0, comp0)) <= cfg.tol)
+            | jnp.logical_not(jnp.isfinite(err_mu))
+        )
+
+        return _S(
+            Z=Z_new,
+            y_eq=y_eq_new,
+            s_l=s_l_new,
+            s_u=s_u_new,
+            lam_l=lam_l_new,
+            lam_u=lam_u_new,
+            mu=mu_new,
+            tau_reg=tau_reg,
+            nu=nu,
+            it=s.it + 1,
+            prim=prim0,
+            dual=dual0,
+            comp=comp0,
+            done=done,
+        )
+
+    def cond(s: _S):
+        return jnp.logical_not(s.done) & (s.it < cfg.max_iter)
+
+    init = _S(
+        Z=Z_init,
+        y_eq=jnp.zeros(n_eq, dtype),
+        s_l=s_l0,
+        s_u=s_u0,
+        lam_l=jnp.where(has_l, lam0, 0.0),
+        lam_u=jnp.where(has_u, lam0, 0.0),
+        mu=jnp.asarray(cfg.mu_init, dtype),
+        tau_reg=jnp.asarray(cfg.tau_reg_init, dtype),
+        nu=jnp.asarray(cfg.nu_init, dtype),
+        it=jnp.zeros((), jnp.int32),
+        prim=jnp.asarray(jnp.inf, dtype),
+        dual=jnp.asarray(jnp.inf, dtype),
+        comp=jnp.asarray(jnp.inf, dtype),
+        done=jnp.asarray(False),
+    )
+    s = lax.while_loop(cond, body, init)
+
+    return NLPResult(
+        Z=s.Z,
+        y_eq=s.y_eq,
+        lam_l=s.lam_l,
+        lam_u=s.lam_u,
+        iters=s.it,
+        prim_res=s.prim,
+        dual_res=s.dual,
+        comp_res=s.comp,
+        solved=(jnp.maximum(s.prim, jnp.maximum(s.dual, s.comp)) <= cfg.tol),
+        f_val=f_fn(s.Z),
+    )

@@ -1,0 +1,93 @@
+"""NLP interior-point solver tests on closed-form and classic problems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from riskaversetrajopt_tpu.ops.nlp_ipm import NLPConfig, solve_nlp
+
+
+def test_qp_as_nlp():
+    # min (x-1)^2 + (y-2)^2 s.t. x + y = 1  => x* = 0, y* = 1
+    def f(Z):
+        return (Z[0] - 1.0) ** 2 + (Z[1] - 2.0) ** 2
+
+    def g(Z):
+        return jnp.array([Z[0] + Z[1]])
+
+    res = solve_nlp(
+        f, g,
+        g_L=jnp.array([1.0]), g_U=jnp.array([1.0]), n_eq=1,
+        x_L=jnp.full(2, -1e15), x_U=jnp.full(2, 1e15),
+        Z0=jnp.zeros(2),
+    )
+    assert bool(res.solved)
+    np.testing.assert_allclose(np.asarray(res.Z), [0.0, 1.0], atol=1e-6)
+
+
+def test_rosenbrock_box():
+    # min rosenbrock s.t. box; unconstrained optimum (1,1) inside the box
+    def f(Z):
+        return 100.0 * (Z[1] - Z[0] ** 2) ** 2 + (1 - Z[0]) ** 2
+
+    def g(Z):
+        return jnp.zeros(0)
+
+    res = solve_nlp(
+        f, g,
+        g_L=jnp.zeros(0), g_U=jnp.zeros(0), n_eq=0,
+        x_L=jnp.array([-2.0, -2.0]), x_U=jnp.array([2.0, 2.0]),
+        Z0=jnp.array([-1.2, 1.0]),
+        cfg=NLPConfig(tol=1e-8, max_iter=200),
+    )
+    assert bool(res.solved)
+    np.testing.assert_allclose(np.asarray(res.Z), [1.0, 1.0], atol=1e-5)
+
+
+def test_hs071():
+    """Hock-Schittkowski 71 (the IPOPT documentation example):
+    min x1 x4 (x1+x2+x3) + x3
+    s.t. x1 x2 x3 x4 >= 25 ; x1^2+x2^2+x3^2+x4^2 = 40 ; 1 <= x <= 5.
+    Known optimum: (1.0, 4.743, 3.821, 1.379), f* = 17.014."""
+
+    def f(Z):
+        return Z[0] * Z[3] * (Z[0] + Z[1] + Z[2]) + Z[2]
+
+    def g(Z):
+        return jnp.array(
+            [Z[0] ** 2 + Z[1] ** 2 + Z[2] ** 2 + Z[3] ** 2, Z[0] * Z[1] * Z[2] * Z[3]]
+        )
+
+    res = solve_nlp(
+        f, g,
+        g_L=jnp.array([40.0, 25.0]), g_U=jnp.array([40.0, 1e15]), n_eq=1,
+        x_L=jnp.ones(4), x_U=jnp.full(4, 5.0),
+        Z0=jnp.array([1.0, 5.0, 5.0, 1.0]),
+        cfg=NLPConfig(tol=1e-8, max_iter=200),
+    )
+    assert bool(res.solved)
+    np.testing.assert_allclose(
+        np.asarray(res.Z), [1.0, 4.7429994, 3.8211503, 1.3794082], atol=1e-4
+    )
+    assert float(res.f_val) == pytest.approx(17.0140173, abs=1e-4)
+
+
+def test_two_sided_rows():
+    # min -x - 2y s.t. 0 <= x + y <= 1, -1 <= x - y <= 1 (LP)
+    # optimum at x+y=1, x-y=-1 => x=0, y=1, f=-2
+    def f(Z):
+        return -Z[0] - 2.0 * Z[1]
+
+    def g(Z):
+        return jnp.array([Z[0] + Z[1], Z[0] - Z[1]])
+
+    res = solve_nlp(
+        f, g,
+        g_L=jnp.array([0.0, -1.0]), g_U=jnp.array([1.0, 1.0]), n_eq=0,
+        x_L=jnp.full(2, -10.0), x_U=jnp.full(2, 10.0),
+        Z0=jnp.zeros(2),
+        cfg=NLPConfig(tol=1e-8, max_iter=200),
+    )
+    assert bool(res.solved)
+    np.testing.assert_allclose(np.asarray(res.Z), [0.0, 1.0], atol=1e-5)

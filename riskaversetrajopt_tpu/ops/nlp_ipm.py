@@ -52,6 +52,10 @@ class NLPConfig(NamedTuple):
     # and each constraint row so first-derivative magnitudes at Z0 are <= this
     # (essential for the hopper's 1e7 slack-penalty gradient)
     scaling_max_gradient: float = 100.0
+    # barrier-parameter strategy: 'loqo' (adaptive, IPOPT mu_oracle=loqo;
+    # tracks the iterate's actual complementarity) or 'monotone'
+    # (Fiacco-McCormick schedule)
+    mu_strategy: str = "loqo"
 
 
 class NLPResult(NamedTuple):
@@ -77,6 +81,7 @@ def solve_nlp(
     x_U,
     Z0,
     cfg: NLPConfig = NLPConfig(),
+    trace_iters: int = 0,
 ) -> NLPResult:
     """Solve the NLP from initial guess Z0 (the reference's two-phase
     baseline->SAA warm-start workflow maps to calling this twice,
@@ -163,7 +168,11 @@ def solve_nlp(
     c0 = c_fn(Z_init)[n_eq:]
     s_l0 = jnp.where(has_l, jnp.maximum(c0 - l_in, cfg.bound_push), 1.0)
     s_u0 = jnp.where(has_u, jnp.maximum(u_in - c0, cfg.bound_push), 1.0)
-    lam0 = jnp.where(has_l | has_u, 1.0, 0.0)
+    # centered multiplier initialization lam = mu/s (keeps the initial
+    # complementarity residual at zero even for huge slacks like the
+    # hopper's 1e6 slack upper bound)
+    lam_l_init = jnp.where(has_l, cfg.mu_init / s_l0, 0.0)
+    lam_u_init = jnp.where(has_u, cfg.mu_init / s_u0, 0.0)
 
     class _S(NamedTuple):
         Z: jnp.ndarray
@@ -180,6 +189,13 @@ def solve_nlp(
         dual: jnp.ndarray
         comp: jnp.ndarray
         done: jnp.ndarray
+        a_p: jnp.ndarray  # diagnostics: last primal step length
+        ok: jnp.ndarray  # diagnostics: last line-search success
+        d_tau_used: jnp.ndarray
+        d_maxD: jnp.ndarray
+        d_minsl: jnp.ndarray
+        d_dynorm: jnp.ndarray
+        d_theta: jnp.ndarray
 
     def kkt_errors(Z, y_eq, s_l, s_u, lam_l, lam_u, mu):
         c = c_fn(Z)
@@ -227,7 +243,7 @@ def solve_nlp(
         J_in = J[n_eq:]
 
         H = hess_lag(s.Z, s.y_eq, s.lam_u - s.lam_l)
-        H = 0.5 * (H + H.T) + s.tau_reg * jnp.eye(n, dtype=dtype)
+        H = 0.5 * (H + H.T)
 
         w_l = jnp.where(has_l, s.lam_l / s.s_l, 0.0)
         w_u = jnp.where(has_u, s.lam_u / s.s_u, 0.0)
@@ -243,24 +259,38 @@ def solve_nlp(
             - jnp.where(has_l, r_cl / s.s_l, 0.0)
             - w_l * r_l
         )
-        R = -r_d + J_in.T @ v
-        N = H + J_in.T @ (D[:, None] * J_in)
-        chol = jnp.linalg.cholesky(N)
 
-        def nsolve(r):
-            t = jax.scipy.linalg.solve_triangular(chol, r, lower=True)
-            return jax.scipy.linalg.solve_triangular(chol.T, t, lower=False)
-
-        NiR = nsolve(R)
-        NiJeqT = jax.vmap(nsolve)(J_eq).T if n_eq > 0 else None  # (n, n_eq)
-        if n_eq > 0:
-            S_eq = J_eq @ NiJeqT + 1e-10 * jnp.eye(n_eq, dtype=dtype)
-            # from J_eq dZ = -r_eq with dZ = NiR - NiJeqT dy
-            dy_eq = jnp.linalg.solve(S_eq, J_eq @ NiR + r_eq)
-            dZ = NiR - NiJeqT @ dy_eq
-        else:
-            dy_eq = s.y_eq
-            dZ = NiR
+        # Augmented (indefinite) KKT system, IPOPT-style: forming the normal
+        # equations J^T D J squares the conditioning and near-active rows
+        # (D -> inf) wipe out all other curvature; in the augmented form the
+        # same rows contribute -1/D -> 0 — benign. Solved by LU.
+        #   [[H + tau I,  J^T       ] [dZ ]   [-r_d    ]
+        #    [J,         diag(block)]] [dy ] = [rhs_rows]
+        # block: -delta on eq rows, -1/D on ineq rows (loose rows: D=0 ->
+        # -1/eps, pinning dy ~ 0).
+        delta_eq = 1e-8
+        D_safe = jnp.clip(D, 1e-20, 1e20)
+        diag_block = jnp.concatenate(
+            [jnp.full(n_eq, -delta_eq, dtype), -1.0 / D_safe]
+        )
+        # per-row equation: dy_i = D_i (J_i dZ) - v_i, rearranged to
+        # J_i dZ - dy_i / D_i = v_i / D_i
+        rhs_rows = jnp.concatenate([-r_eq, v / D_safe])
+        tau_used = s.tau_reg
+        K = jnp.zeros((n + m, n + m), dtype)
+        K = K.at[:n, :n].set(H + tau_used * jnp.eye(n, dtype=dtype))
+        K = K.at[:n, n:].set(J.T)
+        K = K.at[n:, :n].set(J)
+        K = K.at[n + jnp.arange(m), n + jnp.arange(m)].set(diag_block)
+        rhs_full = jnp.concatenate([-r_d, rhs_rows])
+        lu, piv = jax.scipy.linalg.lu_factor(K)
+        sol_aug = jax.scipy.linalg.lu_solve((lu, piv), rhs_full)
+        # one step of iterative refinement
+        sol_aug = sol_aug + jax.scipy.linalg.lu_solve(
+            (lu, piv), rhs_full - K @ sol_aug
+        )
+        dZ = sol_aug[:n]
+        dy_eq = sol_aug[n : n + n_eq]
 
         JdZ = J_in @ dZ
         ds_l = jnp.where(has_l, JdZ + r_l, 0.0)
@@ -282,12 +312,17 @@ def solve_nlp(
             max_step(s.lam_l, dlam_l, has_l), max_step(s.lam_u, dlam_u, has_u)
         )
 
-        # penalty update: nu must dominate the multipliers
+        # penalty update: nu must dominate the multipliers (guarded so a
+        # non-finite trial direction cannot poison the penalty permanently)
         lam_norm = jnp.maximum(
             jnp.max(jnp.abs(dy_eq + s.y_eq), initial=0.0),
             jnp.maximum(jnp.max(jnp.abs(s.lam_l + dlam_l)), jnp.max(jnp.abs(s.lam_u + dlam_u))),
         )
-        nu = jnp.maximum(s.nu, cfg.nu_margin * lam_norm)
+        nu = jnp.where(
+            jnp.isfinite(lam_norm),
+            jnp.maximum(s.nu, cfg.nu_margin * lam_norm),
+            s.nu,
+        )
 
         # backtracking Armijo on the merit
         phi0, theta0 = merit(s.Z, s.s_l, s.s_u, s.mu, nu)
@@ -354,23 +389,39 @@ def solve_nlp(
         y_eq_new = pick(y_eq_new, s.y_eq)
         tau_reg = jnp.where(
             step_ok,
-            jnp.maximum(s.tau_reg / 3.0, cfg.tau_reg_init),
-            jnp.minimum(jnp.maximum(s.tau_reg * 10.0, 1e-6), cfg.tau_reg_max),
+            jnp.maximum(tau_used / 3.0, cfg.tau_reg_init),
+            jnp.minimum(jnp.maximum(tau_used * 10.0, 1e-6), cfg.tau_reg_max),
         )
 
-        # mu update (monotone Fiacco-McCormick, IPOPT eq. 7)
         _, _, _, _, _, _, prim_n, dual_n, comp_n = kkt_errors(
             Z_new, y_eq_new, s_l_new, s_u_new, lam_l_new, lam_u_new, s.mu
         )
         err_mu = jnp.maximum(prim_n, jnp.maximum(dual_n, comp_n))
-        mu_new = jnp.where(
-            err_mu <= cfg.kappa_eps * s.mu,
-            jnp.maximum(
-                cfg.tol / 10.0,
-                jnp.minimum(cfg.kappa_mu * s.mu, s.mu**cfg.theta_mu),
-            ),
-            s.mu,
-        )
+        if cfg.mu_strategy == "loqo":
+            # LOQO adaptive rule (IPOPT mu_oracle=loqo): mu follows the
+            # iterate's actual complementarity, with extra centering when the
+            # products are unbalanced
+            prods = jnp.concatenate(
+                [
+                    jnp.where(has_l, s_l_new * lam_l_new, jnp.nan),
+                    jnp.where(has_u, s_u_new * lam_u_new, jnp.nan),
+                ]
+            )
+            avg = jnp.nanmean(prods)
+            xi = jnp.nanmin(prods) / jnp.maximum(avg, 1e-300)
+            sigma_c = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-6), 2.0) ** 3
+            mu_new = jnp.clip(sigma_c * avg, cfg.tol / 10.0, 1e2)
+        else:
+            # monotone Fiacco-McCormick (IPOPT eq. 7)
+            mu_new = jnp.where(
+                err_mu <= cfg.kappa_eps * s.mu,
+                jnp.maximum(
+                    cfg.tol / 10.0,
+                    jnp.minimum(cfg.kappa_mu * s.mu, s.mu**cfg.theta_mu),
+                ),
+                s.mu,
+            )
+        mu_new = jnp.where(jnp.isfinite(mu_new), mu_new, s.mu)
 
         # overall convergence at mu -> 0: errors with mu=0 complementarity
         _, _, _, _, _, _, prim0, dual0, comp0 = kkt_errors(
@@ -396,6 +447,13 @@ def solve_nlp(
             dual=dual0,
             comp=comp0,
             done=done,
+            a_p=a_p,
+            ok=step_ok,
+            d_tau_used=tau_used,
+            d_maxD=jnp.max(D),
+            d_minsl=jnp.min(jnp.where(has_l, s.s_l, jnp.inf)),
+            d_dynorm=jnp.max(jnp.abs(dy_eq), initial=0.0),
+            d_theta=theta0,
         )
 
     def cond(s: _S):
@@ -406,8 +464,8 @@ def solve_nlp(
         y_eq=jnp.zeros(n_eq, dtype),
         s_l=s_l0,
         s_u=s_u0,
-        lam_l=jnp.where(has_l, lam0, 0.0),
-        lam_u=jnp.where(has_u, lam0, 0.0),
+        lam_l=lam_l_init,
+        lam_u=lam_u_init,
         mu=jnp.asarray(cfg.mu_init, dtype),
         tau_reg=jnp.asarray(cfg.tau_reg_init, dtype),
         nu=jnp.asarray(cfg.nu_init, dtype),
@@ -416,8 +474,25 @@ def solve_nlp(
         dual=jnp.asarray(jnp.inf, dtype),
         comp=jnp.asarray(jnp.inf, dtype),
         done=jnp.asarray(False),
+        a_p=jnp.zeros((), dtype),
+        ok=jnp.asarray(True),
+        d_tau_used=jnp.zeros((), dtype),
+        d_maxD=jnp.zeros((), dtype),
+        d_minsl=jnp.zeros((), dtype),
+        d_dynorm=jnp.zeros((), dtype),
+        d_theta=jnp.zeros((), dtype),
     )
-    s = lax.while_loop(cond, body, init)
+    if trace_iters:
+        def scan_body(s, _):
+            s2 = lax.cond(s.done, lambda: s, lambda: body(s))
+            diag = (s2.prim, s2.dual, s2.comp, s2.mu, s2.tau_reg, s2.nu,
+                    s2.a_p, s2.ok, s2.d_tau_used, s2.d_maxD, s2.d_minsl,
+                    s2.d_dynorm, s2.d_theta)
+            return s2, diag
+        s, trace = lax.scan(scan_body, init, None, length=trace_iters)
+        solve_nlp.last_trace = jax.tree.map(lambda x: x, trace)
+    else:
+        s = lax.while_loop(cond, body, init)
 
     return NLPResult(
         Z=s.Z,

@@ -110,7 +110,10 @@ class GaussianCarPlanner:
             delta = mu[0:2] - mu[4:6]
             dist = jnp.linalg.norm(delta)
             normal = delta / dist
-            pad = normal_quantile(1 - a_t) * jnp.sqrt(normal @ Sig_p @ normal)
+            # clamp guards the sqrt derivative at zero variance (see
+            # drone_gaussian.py); padding change < ndtri(1-a)*1e-6
+            var = jnp.maximum(normal @ Sig_p @ normal, 1e-12)
+            pad = normal_quantile(1 - a_t) * jnp.sqrt(var)
             return -(dist - pad - self.scn.min_separation_distance)
 
         return jax.vmap(one)(xs[1:], Sigmas[1:], alphas_risk)

@@ -80,6 +80,17 @@ class DroneModel:
         quad = jnp.einsum("jti,jik,jtk->jt", d, Q2, d)
         return (1.0 - quad).reshape(self.K)
 
+    def ineq_constraints_euclidean(self, xs, omega: DroneOmega):
+        """Euclidean (sqrt) obstacle-constraint variant used only for MC
+        verification in the paper-figure workload
+        (drone_main_plot.py:198-208): 1 - sqrt((p-op)^T Q (p-op))."""
+        p = xs[1:, :2]
+        op = self._obs_positions[:, :2]
+        Q2 = omega.obs_Q[:, :2, :2]
+        d = p[None, :, :] - op[:, None, :]
+        quad = jnp.einsum("jti,jik,jtk->jt", d, Q2, d)
+        return (1.0 - jnp.sqrt(quad)).reshape(self.K)
+
     def final_constraints(self, xs):
         """x_T - x_final (drone_risk.py:164-167)."""
         return xs[-1, :] - self._x_final

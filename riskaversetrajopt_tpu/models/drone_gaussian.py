@@ -109,7 +109,12 @@ class GaussianDronePlanner:
             delta = p - obs_p[:2]
             dist = jnp.linalg.norm(delta)
             normal = delta / dist
-            pad = normal_quantile(1 - a_s) * jnp.sqrt(normal @ Sig @ normal)
+            # clamp: the position variance is exactly zero at t=1 (Sigma_0 = 0
+            # and the first step only adds velocity noise), and sqrt has an
+            # infinite derivative at 0 which would poison jacfwd; the clamp
+            # changes the padding by < ndtri(1-a)*1e-6
+            var = jnp.maximum(normal @ Sig @ normal, 1e-12)
+            pad = normal_quantile(1 - a_s) * jnp.sqrt(var)
             return -(dist - pad - radius)
 
         def per_obstacle(j):

@@ -69,7 +69,13 @@ class SAATrajOpt:
         model,
         method: str = "saa",
         scp_cfg: Optional[SCPConfig] = None,
-        qp_backend: str = "ipm",
+        # ADMM with warm start is the default: it reproduces the reference's
+        # OSQP-in-the-loop semantics, and the warm start acts as an implicit
+        # proximal stabilizer of the (trust-region-free) SCP iteration — the
+        # IPM backend solves each QP more accurately but jumps to the analytic
+        # center of degenerate optimal faces, which can make the naive SCP
+        # fixed-point iteration oscillate.
+        qp_backend: str = "admm",
         ipm_cfg: Optional[IPMConfig] = None,
         admm_cfg: Optional[SolverConfig] = None,
         slack_penalty: Optional[float] = None,
@@ -82,7 +88,13 @@ class SAATrajOpt:
         # tol 1e-5 (relative merit) is ~100x tighter than the reference's
         # OSQP_TOL and reliably attainable on the degenerate epigraph QPs
         self.ipm_cfg = ipm_cfg or IPMConfig(tol=1e-5, max_iter=40)
-        self.admm_cfg = admm_cfg or SolverConfig()
+        # eps 1e-5: the SCP tail L2 error tracks the QP tolerance (~10-100x);
+        # the reference's OSQP runs at 1e-3 but relies on polish for final
+        # accuracy. Warm starts make the tighter tolerance cheap (~90
+        # iterations per subproblem).
+        self.admm_cfg = admm_cfg or SolverConfig(
+            eps_abs=1e-5, eps_rel=1e-5, max_iter=10000
+        )
         self.dtype = dtype
         scn = model.scn
         n = model.S * model.n_u
@@ -181,6 +193,70 @@ class SAATrajOpt:
             qp_solved=qp_solved,
             us_history=us_hist,
         )
+
+    # -- instrumented solve: define/solve timing split ----------------------
+    def solve_instrumented(self, omegas, alpha, M: Optional[int] = None):
+        """Python-driven SCP loop with separately jitted define and solve
+        phases, reproducing the reference's timing harness semantics
+        (car/driving.py:482-513: per-iteration define time, solve time,
+        cumulative time, L2 error). The fused `solve` is the production path;
+        this one exists for reference-comparable profiling (the
+        define/solve split IS the reference's profiling model,
+        SURVEY.md section 5)."""
+        import time as _time
+
+        if M is None:
+            M = jax.tree.leaves(omegas)[0].shape[0]
+        st = self._static_for(M)
+        model = self.model
+        n = st.n
+
+        define_fn = jax.jit(
+            lambda us_prev, om, a: self._define(us_prev, om, a, M)
+        )
+        solve_fn = jax.jit(
+            lambda data, it, warm: self._solve_qp(st, data, it, warm)
+        )
+
+        nv = n + M + 2
+        warm = (
+            jnp.zeros(nv, self.dtype),
+            jnp.zeros(st_total_rows(st), self.dtype),
+        )
+        us_prev = model.initial_guess().astype(self.dtype)
+        alpha = jnp.asarray(alpha, self.dtype)
+
+        # warm-up compile pass (reference: car/driving.py:474-480)
+        jax.block_until_ready(define_fn(us_prev, omegas, alpha))
+        d0 = define_fn(us_prev, omegas, alpha)
+        jax.block_until_ready(solve_fn(d0, jnp.asarray(0), warm))
+
+        define_times, solve_times, cum_times, l2s = [], [], [], []
+        total = 0.0
+        for it in range(self.scp_cfg.num_iters):
+            t0 = _time.perf_counter()
+            data = jax.block_until_ready(define_fn(us_prev, omegas, alpha))
+            t_def = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            sol = jax.block_until_ready(solve_fn(data, jnp.asarray(it), warm))
+            t_sol = _time.perf_counter() - t0
+            us = sol.x[:n].reshape(model.S, model.n_u)
+            l2s.append(float(l2_error_us(us, us_prev)))
+            us_prev = us
+            warm = (sol.x, sol.y)
+            total += t_def + t_sol
+            define_times.append(t_def)
+            solve_times.append(t_sol)
+            cum_times.append(total)
+        xs = rollout_batch(model, us_prev, omegas)
+        return {
+            "us": us_prev,
+            "xs": xs,
+            "define_times": np.array(define_times),
+            "solve_times": np.array(solve_times),
+            "cum_times": np.array(cum_times),
+            "l2_errors": np.array(l2s),
+        }
 
     # -- Monte-Carlo validation oracle -------------------------------------
     def monte_carlo(self, us, omegas, alpha, tol: Optional[float] = None):

@@ -1,0 +1,128 @@
+"""Hopper contact-implicit workload — parity with hopper/hopper.py.
+
+Two-phase workflow (hopper/README.md:9-25): solve the baseline NLP first,
+persist it, then solve the SAA variants warm-started from the baseline —
+here both phases run in one invocation (no flag-flipping needed), or
+individually via --phase.
+
+Monte-Carlo validation samples 10000 fresh friction fields and checks the
+no-slip constraint on the solved contact schedule (hopper.py:898-1008).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riskaversetrajopt_tpu.core.config import HopperScenario
+from riskaversetrajopt_tpu.experiments import common
+from riskaversetrajopt_tpu.models.hopper import HopperModel
+from riskaversetrajopt_tpu.ops.cvar import avar
+from riskaversetrajopt_tpu.ops.nlp_ipm import NLPConfig, solve_nlp
+
+
+def solve_phase(model, field, method, alpha, Z0, tol, max_iter):
+    f, g, gL, gU, n_eq, xL, xU = model.make_nlp(field, method, alpha)
+    res = solve_nlp(f, g, gL, gU, n_eq, xL, xU, Z0,
+                    NLPConfig(tol=tol, max_iter=max_iter))
+    xs, us, ys, slack, t_risk = model.split_z(res.Z)
+    return res, xs, us
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alphas", type=float, nargs="+",
+                    default=[0.05, 0.1, 0.2, 0.3, 0.5, 0.75])
+    ap.add_argument("--phase", choices=["baseline", "saa", "both"],
+                    default="both")
+    ap.add_argument("--tol", type=float, default=1e-3)
+    ap.add_argument("--max-iter", type=int, default=3000)
+    ap.add_argument("--mc-M", type=int, default=10000)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--skip-mc", action="store_true")
+    ap.add_argument("--results", default="results")
+    args = ap.parse_args(argv)
+
+    rdir = common.results_dir(args.results)
+    model = HopperModel(HopperScenario())
+    M = model.M
+    key = jax.random.PRNGKey(args.seed)
+    field = model.sample_friction(key, M, "saa")
+    field_base = model.sample_friction(key, M, "baseline")
+
+    if args.phase in ("baseline", "both"):
+        print("[hopper] >>> Solving baseline")
+        Z0 = model.initial_guess(M)
+        res, xs, us = solve_phase(
+            model, field_base, "baseline", 0.1, Z0, args.tol, args.max_iter
+        )
+        print(f"  iters={int(res.iters)} prim={float(res.prim_res):.2e} "
+              f"jumped={float(xs[-1, 0]):.4f}")
+        with open(rdir / "hopper_base_results.npy", "wb") as f:
+            np.save(f, np.asarray(xs))
+            np.save(f, np.asarray(us))
+
+    if args.phase in ("saa", "both"):
+        with open(rdir / "hopper_base_results.npy", "rb") as f:
+            xs_g = np.load(f)
+            us_g = np.load(f)
+        s = model.scn
+        Z0 = np.zeros(model.num_vars)
+        Z0[: (s.S + 1) * s.n_x] = xs_g.reshape(-1)
+        Z0[(s.S + 1) * s.n_x : (s.S + 1) * s.n_x + s.S * s.n_u] = us_g.reshape(-1)
+        Z0 = jnp.asarray(Z0)
+        for alpha in args.alphas:
+            print(f"[hopper] >>> Solving SAA alpha={alpha}")
+            res, xs, us = solve_phase(
+                model, field, "saa", alpha, Z0, args.tol, args.max_iter
+            )
+            print(f"  iters={int(res.iters)} prim={float(res.prim_res):.2e} "
+                  f"jumped={float(xs[-1, 0]):.4f}")
+            with open(rdir / f"hopper_saa_alpha={alpha}_results.npy", "wb") as f:
+                np.save(f, np.asarray(xs))
+                np.save(f, np.asarray(us))
+
+    if not args.skip_mc:
+        print("[hopper] >>> Monte Carlo validation")
+        mc_field = model.sample_friction(
+            jax.random.PRNGKey(args.seed + 100), args.mc_M, "saa"
+        )
+        names = [("baseline", rdir / "hopper_base_results.npy", None)] + [
+            (f"alpha={a}", rdir / f"hopper_saa_alpha={a}_results.npy", a)
+            for a in args.alphas
+        ]
+        for name, path, alpha in names:
+            try:
+                with open(path, "rb") as f:
+                    xs = np.load(f)
+                    us = np.load(f)
+            except FileNotFoundError:
+                continue
+            ee = jax.vmap(model.end_effector_position)(jnp.asarray(xs))
+            px = ee[model.contact_x_idx, 0]
+            forces = jnp.asarray(us)[model.contact_u_idx, 2:]
+
+            def verify(i, th, ta):
+                mu = model.scn.mu_nom + jnp.sum(
+                    i[None, :] * jnp.cos(th[None, :] * px[:, None] + ta[None, :]),
+                    axis=1,
+                )
+                cons = forces[:, 0] - mu * forces[:, 1]
+                mx = jnp.max(cons)
+                return mx <= 1e-6, mx
+
+            ok, mx = jax.vmap(verify)(
+                mc_field.intensities, mc_field.thetas, mc_field.taus
+            )
+            msg = (f"  {name}: jumped={xs[-1, 0]:.4f} "
+                   f"safe={float(jnp.mean(ok)):.4f}")
+            if alpha is not None:
+                msg += f" avar={float(avar(mx, alpha)):.5f}"
+            print(msg)
+
+
+if __name__ == "__main__":
+    main()

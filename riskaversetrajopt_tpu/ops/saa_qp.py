@@ -389,7 +389,24 @@ class SAAQPOps:
         one_DinvC = jnp.sum(DinvC, axis=0)  # (n+2,) = 1^T D^-1 C
         denom = 1.0 + beta * jnp.sum(Dinv)
         S = N_vv - (CtDinvC - (beta / denom) * jnp.outer(one_DinvC, one_DinvC))
-        chol_S = jnp.linalg.cholesky(S)
+        # f32 safeguard: the Schur subtraction can lose positive-definiteness
+        # to roundoff under extreme barrier/penalty weights; escalate a
+        # trace-scaled jitter until the Cholesky is finite
+        base = jnp.asarray(1e-7 if dtype == jnp.float32 else 0.0, dtype)
+        scale = jnp.mean(jnp.diag(S))
+        eye_v = jnp.eye(n + 2, dtype=dtype)
+
+        def jcond(carry):
+            jit_f, chol = carry
+            return jnp.any(jnp.isnan(chol)) & (jit_f < 1e-1)
+
+        def jstep(carry):
+            jit_f, _ = carry
+            jit_f = jnp.maximum(jit_f * 100.0, 1e-6)
+            return jit_f, jnp.linalg.cholesky(S + jit_f * scale * eye_v)
+
+        chol0 = jnp.linalg.cholesky(S + base * scale * eye_v)
+        _, chol_S = jax.lax.while_loop(jcond, jstep, (base, chol0))
         return (chol_S, C, D, beta)
 
     def _solve_yy(self, D, beta, r):

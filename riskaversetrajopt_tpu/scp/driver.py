@@ -140,15 +140,31 @@ class SAATrajOpt:
         return pack_saa_qp_data(lin, us_prev_vec, self.p_diag_u, alpha)
 
     def _solve_qp(self, st, data, scp_iter, warm=None):
-        if self.qp_backend == "ipm":
+        def ipm_solve():
             ops = SAAQPOps(st, data, scp_iter)
             _, q = build_objective(st, data)
             l, u = build_bounds(st, data, scp_iter)
             return solve_qp_ipm(ops, q, l, u, n_eq=st.n_fc, cfg=self.ipm_cfg)
-        elif self.qp_backend == "admm":
+
+        def admm_solve():
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None
             return solve_saa_qp(st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0)
+
+        if self.qp_backend == "ipm":
+            return ipm_solve()
+        elif self.qp_backend == "admm":
+            return admm_solve()
+        elif self.qp_backend == "hybrid":
+            # The first post-gating subproblems involve a large active-set
+            # shift (the linearized obstacle rows switch on all at once,
+            # drone_risk.py:413-417) and take thousands of warm-startless ADMM
+            # iterations; Mehrotra handles them in ~20. The tail subproblems
+            # barely change between SCP iterations, where warm-started ADMM
+            # converges in ~25 iterations and its proximity to the previous
+            # iterate stabilizes the trust-region-free SCP recursion.
+            switch = self.scp_cfg.gate_iters + 3
+            return jax.lax.cond(scp_iter < switch, ipm_solve, admm_solve)
         raise ValueError(f"unknown qp backend {self.qp_backend}")
 
     # -- full SCP solve ----------------------------------------------------

@@ -1,0 +1,83 @@
+"""Hopper model + NLP tests: constraint-stack shapes and values, friction
+field sampling, and a reduced-budget baseline solve reaching feasibility.
+
+(The full 3000-iteration baseline->SAA workflow is exercised by the hopper
+experiment; here we bound runtime and check structure + progress.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riskaversetrajopt_tpu.core.config import HopperScenario
+from riskaversetrajopt_tpu.models.hopper import HopperModel
+from riskaversetrajopt_tpu.ops.nlp_ipm import NLPConfig, solve_nlp
+
+
+def test_constraint_stack_shapes():
+    model = HopperModel(HopperScenario())
+    M = model.M
+    field = model.sample_friction(jax.random.PRNGKey(0), M, "saa")
+    Z0 = model.initial_guess(M)
+    g = model.g_all(Z0, field, "saa", 0.1)
+    g_L, g_U, n_eq, xL, xU = model.bounds("saa", M)
+    assert g.shape == g_L.shape == g_U.shape
+    s = model.scn
+    # reference row count: dyn + x0 + xf + no-slip + contact + flight +
+    # (1 + M + M*C + 1) + controls + slack + 3S
+    C = model.num_contacts
+    expected = (
+        s.S * s.n_x + s.n_x + 2 + 21 + 21 + 10
+        + (1 + M + M * C + 1) + s.n_u * s.S + 1 + 3 * s.S
+    )
+    assert g.shape[0] == expected
+    assert n_eq == s.S * s.n_x + s.n_x + 2 + 21 + 21
+    assert model.num_vars == 400  # (S+1)*n_x + S*n_u + M + 2 (hopper.py:58)
+
+
+def test_initial_guess_dynamics_defect_structure():
+    """The phase-structured initial guess (hopper.py:136-164) applies the
+    nominal force on BOTH the leg actuator and the contact force, so the net
+    vertical acceleration is +g and every RK4 defect is ~g*dt in the
+    velocity block (a property of the reference guess, reproduced exactly)."""
+    model = HopperModel(HopperScenario())
+    s = model.scn
+    Z0 = model.initial_guess(model.M)
+    xs, us, *_ = model.split_z(Z0)
+    defects = model.dynamics_defects(xs, us).reshape(model.S, model.n_x)
+    expected = s.gravity * s.dt  # 9.81 * (2/30) = 0.654
+    per_step = np.max(np.abs(np.asarray(defects)), axis=1)
+    np.testing.assert_allclose(per_step, expected, rtol=1e-6)
+
+
+def test_friction_field_sampling():
+    model = HopperModel(HopperScenario())
+    f_saa = model.sample_friction(jax.random.PRNGKey(0), 100, "saa")
+    f_base = model.sample_friction(jax.random.PRNGKey(0), 100, "baseline")
+    s = model.scn
+    # baseline: mu == mu_nom everywhere
+    mu0 = s.mu_nom + jnp.sum(
+        f_base.intensities[0] * jnp.cos(f_base.thetas[0] * 0.5 + f_base.taus[0])
+    )
+    assert float(mu0) == np.testing.assert_allclose(float(mu0), s.mu_nom) or True
+    # saa intensities bounded by 0.025*sqrt(2/F)
+    bound = 0.025 * np.sqrt(2.0 / s.num_mu_features)
+    assert float(jnp.max(f_saa.intensities)) <= bound + 1e-12
+    assert float(jnp.min(f_saa.intensities)) >= 0.0
+
+
+def test_hopper_baseline_reaches_feasibility():
+    """Reduced iteration budget: the solver must reach near-feasibility of
+    the contact-implicit dynamics from the teleporting initial guess (full
+    convergence takes ~2800 iterations, matching the reference's
+    max_iter=3000 IPOPT budget)."""
+    model = HopperModel(HopperScenario())
+    field = model.sample_friction(jax.random.PRNGKey(1), model.M, "baseline")
+    f, g, gL, gU, n_eq, xL, xU = model.make_nlp(field, "baseline", 0.1)
+    Z0 = model.initial_guess(model.M)
+    res = solve_nlp(f, g, gL, gU, n_eq, xL, xU, Z0,
+                    NLPConfig(tol=1e-4, max_iter=60))
+    assert float(res.prim_res) < 1e-2
+    xs, us, ys, slack, t_risk = model.split_z(res.Z)
+    assert bool(jnp.all(jnp.isfinite(res.Z)))
+    # no-slip equality holds approximately on stance phases
+    assert float(jnp.max(jnp.abs(model.dynamics_defects(xs, us)))) < 1e-2

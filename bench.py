@@ -24,9 +24,12 @@ import jax.numpy as jnp
 
 
 def make(num_iters):
-    from riskaversetrajopt_tpu.core.config import DroneScenario, SCPConfig
+    from riskaversetrajopt_tpu.core.config import (
+        DroneScenario,
+        SCPConfig,
+        SolverConfig,
+    )
     from riskaversetrajopt_tpu.models.drone import DroneModel
-    from riskaversetrajopt_tpu.ops.ipm import IPMConfig
     from riskaversetrajopt_tpu.scp.driver import SAATrajOpt
 
     model = DroneModel(DroneScenario())
@@ -40,7 +43,8 @@ def make(num_iters):
             gate_bound_l=-0.1,
             gate_bound_u=0.1,
         ),
-        ipm_cfg=IPMConfig(tol=1e-4, max_iter=30),
+        qp_backend="admm",
+        admm_cfg=SolverConfig(eps_abs=1e-4, eps_rel=1e-4, max_iter=2000),
         dtype=jnp.float32,
     )
 
@@ -79,7 +83,7 @@ def main():
     )
 
     cpu = jax.devices("cpu")[0]
-    t_cpu, _ = time_solve(opt, omegas, 0.1, cpu, max(1, repeats // 3))
+    t_cpu, _ = time_solve(opt, omegas, 0.1, cpu, 1)
     print(f"[bench] cpu baseline t={t_cpu:.4f}s", file=sys.stderr)
 
     solves_per_s = 1.0 / t_accel

@@ -29,6 +29,16 @@ rank-1 vector.
 `one_iter_ref` is the identical iteration in plain jnp: it backs correctness
 tests of the kernel and serves as an XLA fallback fast path.
 
+STATUS (round 1): bitwise-validated against the jnp reference in interpret
+mode at all sizes and ON DEVICE up to Mp = 512 (when the reference runs with
+jax_default_matmul_precision=highest — the default TPU f32 einsum uses bf16
+MXU passes and differs at ~1e-1). At Mp = 1024 single-kernel compilation
+currently exhausts VMEM stack space / faults the device on this experimental
+axon target; per-chip shards of M <= 512 (the sharded-fleet regime) are the
+supported envelope. SCP-solver integration is the next step; Mosaic findings
+are documented inline (validated op forms, canary outputs, static DMA
+slots).
+
 colp slots: 0 rv_y | 1 lb_y | 2 ub_y | 3 mask_y | 4 cy_hat | 5 yd_hat
             | 6 ys_hat | 7 Dinv | 8 wD
 coly slots: 0 y | 1 z_y | 2 yd_y
@@ -82,7 +92,9 @@ class KernelDims(NamedTuple):
 
 
 def kernel_dims(st: SAAQPStatic, TM: int = 64) -> KernelDims:
-    Mp = ((st.M + TM - 1) // TM) * TM
+    # Mp is padded to an EVEN number of tiles (the kernel's even/odd static
+    # double-buffering requires it)
+    Mp = ((st.M + 2 * TM - 1) // (2 * TM)) * (2 * TM)
     Kp = ((st.K + 7) // 8) * 8
     return KernelDims(
         n=st.n, n_fc=st.n_fc, M=st.M, K=st.K, TM=TM, Mp=Mp, Kp=Kp, NT=Mp // TM
@@ -377,46 +389,51 @@ def _safe(rv):
     return jnp.where(rv > 0, rv, 1.0)
 
 
-def _iter_body(p: ScaledSAA, s: ScaledState, d: KernelDims, sweep_at, sweep_a):
-    """One scaled ADMM iteration. `sweep_at(w_G) -> (1, 128)` accumulates the
-    A^T product over the sample rows; `sweep_a(u_t) -> (Mp, Kp)` computes the
-    sample-row products Gs @ u. Pure jnp otherwise (runs both as the XLA
-    reference and inside the pallas kernel)."""
-    al = p.alpha_relax[0, 0]
+def _row_update(al, z, yd, zt, rv, lb, ub, mask):
+    """ADMM relax/project/dual update for one row section."""
+    z_relax = al * zt + (1 - al) * z
+    z_next = jnp.clip(z_relax + yd / _safe(rv), lb, ub)
+    yd_next = yd + rv * (z_relax - z_next)
+    return z_next * mask, yd_next * mask
+
+
+def _small_w_terms(p: ScaledSAA, s: ScaledState):
+    """w for the small rows and the y-row section.
+
+    NOTE: all parameter accesses below go through `[...]`/slices at the point
+    of use — in the pallas kernel the fields are VMEM refs, and reading them
+    all upfront keeps whole (Mp, *) arrays live across the iteration loop,
+    which at Mp >= 512 spills registers and miscompiled on this target."""
+    iota = _iota_row()
+    rv_y = _col(p.colp, 0)
+    w_y = rv_y * _col(s.coly, 1) - _col(s.coly, 2)
+    w_small = p.rv_small[...] * s.z_small - s.yd_small
+    w_c = jnp.sum(jnp.where(iota == 6, w_small, 0.0))
+    w_s = jnp.sum(jnp.where(iota == 7, w_small, 0.0))
+    return w_small, w_y, w_c, w_s
+
+
+def _solve_kkt(p: ScaledSAA, s: ScaledState, d: KernelDims,
+               u_part, rowsum_y, eGtw_sum, w_small, w_y, w_c, w_s):
+    """rhs assembly + Schur/Sherman-Morrison KKT solve.
+
+    u_part: (1,128) accumulated sample-row A^T contribution;
+    rowsum_y: (Mp,1) sum_k eGy*w_G; eGtw_sum: scalar sum eGt*w_G."""
     sig = p.sigma[0, 0]
     n_fc = d.n_fc
     iota = _iota_row()
-
-    rv_y = _col(p.colp, 0)
-    lb_y = _col(p.colp, 1)
-    ub_y = _col(p.colp, 2)
-    mask_y = _col(p.colp, 3)
     cy_hat = _col(p.colp, 4)
     yd_hat = _col(p.colp, 5)
     ys_hat = _col(p.colp, 6)
-
     y = _col(s.coly, 0)
-    z_y = _col(s.coly, 1)
-    yd_y = _col(s.coly, 2)
 
-    # ---- w = rv*z - yd ----
-    w_G = p.rv_G * s.z_G - s.yd_G
-    w_y = rv_y * z_y - yd_y
-    w_small = p.rv_small * s.z_small - s.yd_small
-
-    w_c = jnp.sum(jnp.where(iota == 6, w_small, 0.0))
-    w_s = jnp.sum(jnp.where(iota == 7, w_small, 0.0))
-    w_ctrl = jnp.where(iota >= 8, w_small, 0.0)
-
-    # ---- rhs = sigma*x - q + A^T w ----
-    u_part = sweep_at(w_G)
     for j in range(n_fc):
         w_fj = jnp.sum(jnp.where(iota == j, w_small, 0.0))
         u_part = u_part + w_fj * p.Fs[j : j + 1, :]
-    u_part = u_part + p.cu * _roll(w_ctrl, -8)
-    rhs_u = (sig * s.u - p.q_hat_u + u_part) * p.mask_n
+    w_ctrl = jnp.where(iota >= 8, w_small, 0.0)
+    u_part = u_part + p.cu[...] * _roll(w_ctrl, -8)
+    rhs_u = (sig * s.u - p.q_hat_u[...] + u_part) * p.mask_n[...]
 
-    rowsum_y = jnp.sum(p.eGy * w_G, axis=1, keepdims=True)
     rhs_y = sig * y + cy_hat * w_c - yd_hat * w_y - rowsum_y
     rhs_s = (
         sig * s.s[0, 0]
@@ -424,62 +441,100 @@ def _iter_body(p: ScaledSAA, s: ScaledState, d: KernelDims, sweep_at, sweep_a):
         - jnp.sum(ys_hat * w_y)
         - p.ss_hat[0, 0] * w_s
     )
-    rhs_t = sig * s.t[0, 0] + p.ct_hat[0, 0] * w_c - jnp.sum(p.eGt * w_G)
+    rhs_t = sig * s.t[0, 0] + p.ct_hat[0, 0] * w_c - eGtw_sum
 
-    # ---- KKT solve ----
-    Dinv = _col(p.colp, 7)
-    wD = _col(p.colp, 8)
     beta = p.sm_beta[0, 0]
     denom = p.sm_denom[0, 0]
 
     def sm_apply(r):
+        # re-slice Dinv/wD at each use (lazy reads; see _small_w_terms note)
+        Dinv = _col(p.colp, 7)
+        wD = _col(p.colp, 8)
         return Dinv * r - (beta * jnp.sum(wD * r) / denom) * wD
 
     g_y = sm_apply(rhs_y)
     r_v = (
         rhs_u
-        + rhs_s * p.e_s
-        + rhs_t * p.e_t
-        - jnp.sum(p.Cbar * g_y, axis=0, keepdims=True)
+        + rhs_s * p.e_s[...]
+        + rhs_t * p.e_t[...]
+        - jnp.sum(p.Cbar[...] * g_y, axis=0, keepdims=True)
     )
-    v = jnp.dot(r_v, p.Sinv, preferred_element_type=jnp.float32)
-    y_t = sm_apply(rhs_y - jnp.sum(p.Cbar * v, axis=1, keepdims=True))
-    u_t = v * p.mask_n
-    s_t = jnp.sum(v * p.e_s)
-    t_t = jnp.sum(v * p.e_t)
+    # NOTE: a (1,128)@(128,128) dot miscompiles on this Mosaic target
+    # (wrong values); an (8,128) lhs is exact, and the dot acts row-wise, so
+    # replicate the row and keep row 0
+    v = jnp.dot(
+        jnp.broadcast_to(r_v, (8, LANES)), p.Sinv[...],
+        preferred_element_type=jnp.float32,
+    )[0:1, :]
+    y_t = sm_apply(rhs_y - jnp.sum(p.Cbar[...] * v, axis=1, keepdims=True))
+    u_t = v * p.mask_n[...]
+    s_t = jnp.sum(v * p.e_s[...])
+    t_t = jnp.sum(v * p.e_t[...])
+    return u_t, y_t, s_t, t_t
 
-    # ---- zt = A x_t ----
-    zt_G = sweep_a(u_t) - p.eGy * y_t - p.eGt * t_t
+
+def _small_updates(p: ScaledSAA, s: ScaledState, d: KernelDims,
+                   u_t, y_t, s_t, t_t):
+    """Relax/project/dual updates for everything except the sample rows.
+    Returns the new (u, s, t, coly, z_small, yd_small)."""
+    al = p.alpha_relax[0, 0]
+    iota = _iota_row()
+    rv_y = _col(p.colp, 0)
+    lb_y = _col(p.colp, 1)
+    ub_y = _col(p.colp, 2)
+    mask_y = _col(p.colp, 3)
+    cy_hat = _col(p.colp, 4)
+    yd_hat = _col(p.colp, 5)
+    ys_hat = _col(p.colp, 6)
+    y = _col(s.coly, 0)
+    z_y = _col(s.coly, 1)
+    yd_y = _col(s.coly, 2)
+    n_fc = d.n_fc
+
     zt_y = -yd_hat * y_t - ys_hat * s_t
     zt_c = jnp.sum(cy_hat * y_t) + p.ct_hat[0, 0] * t_t
     zt_s = -p.ss_hat[0, 0] * s_t
-    zt_small = jnp.where(iota >= 8, _roll(p.cu * u_t, 8), 0.0)
+    zt_small = jnp.where(iota >= 8, _roll(p.cu[...] * u_t, 8), 0.0)
     for j in range(n_fc):
         ztf_j = jnp.sum(p.Fs[j : j + 1, :] * u_t)
         zt_small = zt_small + jnp.where(iota == j, ztf_j, 0.0)
     zt_small = zt_small + jnp.where(iota == 6, zt_c, 0.0)
     zt_small = zt_small + jnp.where(iota == 7, zt_s, 0.0)
 
-    # ---- relax / project / dual update ----
-    u_new = (al * u_t + (1 - al) * s.u) * p.mask_n
+    u_new = (al * u_t + (1 - al) * s.u) * p.mask_n[...]
     y_new = (al * y_t + (1 - al) * y) * mask_y
     s_new = al * s_t + (1 - al) * s.s
     t_new = al * t_t + (1 - al) * s.t
 
-    def update(z, yd, zt, rv, lb, ub, mask):
-        z_relax = al * zt + (1 - al) * z
-        z_next = jnp.clip(z_relax + yd / _safe(rv), lb, ub)
-        yd_next = yd + rv * (z_relax - z_next)
-        return z_next * mask, yd_next * mask
-
-    z_G, yd_G = update(s.z_G, s.yd_G, zt_G, p.rv_G, p.lb_G, p.ub_G, p.mask_G)
-    z_y_n, yd_y_n = update(z_y, yd_y, zt_y, rv_y, lb_y, ub_y, mask_y)
-    z_sm, yd_sm = update(
-        s.z_small, s.yd_small, zt_small, p.rv_small, p.lb_small, p.ub_small,
-        p.mask_small,
+    z_y_n, yd_y_n = _row_update(al, z_y, yd_y, zt_y, rv_y, lb_y, ub_y, mask_y)
+    z_sm, yd_sm = _row_update(
+        al, s.z_small, s.yd_small, zt_small, p.rv_small[...], p.lb_small[...],
+        p.ub_small[...], p.mask_small[...],
     )
     coly = jnp.concatenate(
         [y_new, z_y_n, yd_y_n, jnp.zeros((d.Mp, 5), jnp.float32)], axis=1
+    )
+    return u_new, s_new, t_new, coly, z_sm, yd_sm
+
+
+def _iter_body(p: ScaledSAA, s: ScaledState, d: KernelDims, sweep_at, sweep_a):
+    """One scaled ADMM iteration with value-based sweeps (the XLA reference
+    path; the pallas kernel fuses the sample-row work into its tile loops)."""
+    al = p.alpha_relax[0, 0]
+    w_G = p.rv_G * s.z_G - s.yd_G
+    w_small, w_y, w_c, w_s = _small_w_terms(p, s)
+    u_part = sweep_at(w_G)
+    rowsum_y = jnp.sum(p.eGy * w_G, axis=1, keepdims=True)
+    eGtw_sum = jnp.sum(p.eGt * w_G)
+    u_t, y_t, s_t, t_t = _solve_kkt(
+        p, s, d, u_part, rowsum_y, eGtw_sum, w_small, w_y, w_c, w_s
+    )
+    zt_G = sweep_a(u_t) - p.eGy * y_t - p.eGt * t_t
+    z_G, yd_G = _row_update(
+        al, s.z_G, s.yd_G, zt_G, p.rv_G, p.lb_G, p.ub_G, p.mask_G
+    )
+    u_new, s_new, t_new, coly, z_sm, yd_sm = _small_updates(
+        p, s, d, u_t, y_t, s_t, t_t
     )
     return ScaledState(
         u=u_new,
@@ -514,88 +569,174 @@ def admm_chunk_pallas(
     p: ScaledSAA, state: ScaledState, d: KernelDims, chunk: int,
     interpret: bool = False,
 ) -> ScaledState:
-    """Run `chunk` scaled ADMM iterations in one pallas_call (Gs streamed
-    from HBM, double buffered; everything else VMEM-resident)."""
+    """Run `chunk` scaled ADMM iterations in one pallas_call.
+
+    Design (validated op-by-op on this Mosaic target):
+    - sample-row state (z_G, yd_G) lives in VMEM scratch REFS; every access
+      is tile-local (`pl.ds` row blocks) — full-array reads of scratch that
+      is rewritten across loop iterations miscompiled (stale/garbage reads);
+    - Gs streams from HBM with even/odd static-slot double buffering
+      (dynamic slot indices also miscompiled);
+    - the A^T sweep, the per-sample reductions, and the row updates are all
+      fused into the two tile loops, so each iteration reads Gs twice and
+      touches nothing else outside VMEM.
+    """
     NT, TM, Kp, Np = p.Gs.shape
+    assert NT % 2 == 0, "even/odd double buffering requires an even tile count"
     n_state = len(state)
     params = list(p)[1:]  # all fields except Gs
     n_param = len(params)
+    # Two sacrificial "canary" output buffers are always allocated and
+    # zero-filled at kernel end. Empirically on this Mosaic target the
+    # kernel produces deterministic wrong results at Mp >= 512 WITHOUT them
+    # and exact results WITH them (state bitwise-identical to the jnp
+    # reference) — the extra buffers appear to absorb an out-of-bounds write
+    # or force a correct allocation. Tracked as a toolchain workaround.
+    n_out = n_state + 2
+    N_MK = 6  # eGy, eGt, rv_G, lb_G, ub_G, mask_G stay as refs (tile-sliced)
 
     def kernel(*refs):
         state_refs = refs[:n_state]
         gs_ref = refs[n_state]
         param_refs = refs[n_state + 1 : n_state + 1 + n_param]
-        out_refs = refs[n_state + 1 + n_param : n_state + 1 + n_param + n_state]
-        gtile = refs[-3]  # (2, TM, Kp, Np) scratch
-        zt_scr = refs[-2]  # (Mp, Kp) scratch
-        sem = refs[-1]  # (2,) DMA semaphores
+        out_refs = refs[n_state + 1 + n_param : n_state + 1 + n_param + n_out]
+        gtile = refs[-4]  # (2, TM, Kp, Np)
+        zG_scr = refs[-3]  # (Mp, Kp)
+        ydG_scr = refs[-2]  # (Mp, Kp)
+        col_scr = refs[-5]  # (Mp, 8): col 0 = rowsum_y, col 1 = y_t
+        sem = refs[-1]  # (2,)
 
-        pv = ScaledSAA(None, *[r[...] for r in param_refs])
+        mk_refs = param_refs[:N_MK]
+        eGy_ref, eGt_ref, rvG_ref, lbG_ref, ubG_ref, maskG_ref = mk_refs
+        # ALL params stay as refs; the shared helpers read them lazily at the
+        # point of use (upfront whole-array reads kept (Mp, *) values live
+        # across the loop, spilling registers and miscompiling at Mp >= 512)
+        pv = ScaledSAA(None, *param_refs)
+        al = pv.alpha_relax[0, 0]
+
+        # persistent sample-row state
+        zG_scr[...] = state_refs[4][...]
+        ydG_scr[...] = state_refs[5][...]
 
         def tile_dma(slot, t):
-            return pltpu.make_async_copy(gs_ref.at[t], gtile.at[slot], sem.at[slot])
-
-        def sweep_at(w_G):
-            tile_dma(0, 0).start()
-
-            def body(t, acc):
-                slot = jax.lax.rem(t, 2)
-                nxt = jax.lax.rem(t + 1, 2)
-
-                @pl.when(t + 1 < NT)
-                def _():
-                    tile_dma(nxt, t + 1).start()
-
-                tile_dma(slot, t).wait()
-                g = gtile[slot]  # (TM, Kp, Np)
-                w_blk = jax.lax.dynamic_slice_in_dim(w_G, t * TM, TM, axis=0)
-                contrib = jnp.sum(
-                    jnp.sum(w_blk[:, :, None] * g, axis=1), axis=0,
-                    keepdims=True,
-                )
-                return acc + contrib
-
-            return jax.lax.fori_loop(
-                0, NT, body, jnp.zeros((1, Np), jnp.float32)
+            return pltpu.make_async_copy(
+                gs_ref.at[t], gtile.at[slot], sem.at[slot]
             )
 
-        def sweep_a(u_t):
+        def double_buffered(compute, init):
+            """Loop tiles in even/odd pairs with static DMA slots.
+            compute(t, g, carry) -> carry."""
             tile_dma(0, 0).start()
 
-            def body(t, _):
-                slot = jax.lax.rem(t, 2)
-                nxt = jax.lax.rem(t + 1, 2)
+            def body(tp, carry):
+                t0 = 2 * tp
+                t1 = t0 + 1
+                tile_dma(1, t1).start()
+                tile_dma(0, t0).wait()
+                carry = compute(t0, gtile[0], carry)
 
-                @pl.when(t + 1 < NT)
+                @pl.when(t0 + 2 < NT)
                 def _():
-                    tile_dma(nxt, t + 1).start()
+                    tile_dma(0, t0 + 2).start()
 
-                tile_dma(slot, t).wait()
-                g = gtile[slot]
-                prod = jnp.sum(g * u_t[0][None, None, :], axis=2)  # (TM, Kp)
-                zt_scr[pl.ds(t * TM, TM), :] = prod
-                return 0
+                tile_dma(1, t1).wait()
+                return compute(t1, gtile[1], carry)
 
-            jax.lax.fori_loop(0, NT, body, 0)
-            return zt_scr[...]
+            return jax.lax.fori_loop(0, NT // 2, body, init)
+
+        def rows(t):
+            return pl.ds(t * TM, TM)
 
         def iter_step(_, carry):
-            st_c = ScaledState(*carry)
-            st_n = _iter_body(pv, st_c, d, sweep_at, sweep_a)
-            return tuple(st_n)
+            st_c = ScaledState(
+                u=carry[0], s=carry[1], t=carry[2], coly=carry[3],
+                z_G=None, yd_G=None, z_small=carry[4], yd_small=carry[5],
+            )
 
-        init = tuple(r[...] for r in state_refs)
+            # ---- sweep 1: A^T contribution + per-sample reductions ----
+            def c1(t, g, acc):
+                u_part, eGtw = acc
+                r = rows(t)
+                w_blk = rvG_ref[r, :] * zG_scr[r, :] - ydG_scr[r, :]
+                prod = jax.lax.dot_general(
+                    w_blk[:, None, :], g,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (TM, 1, Np)
+                u_part = u_part + jnp.sum(
+                    jnp.sum(prod, axis=1), axis=0, keepdims=True
+                )
+                col_scr[r, 0:1] = jnp.sum(
+                    eGy_ref[r, :] * w_blk, axis=1, keepdims=True
+                )
+                eGtw = eGtw + jnp.sum(eGt_ref[r, :] * w_blk)
+                return (u_part, eGtw)
+
+            u_part, eGtw = double_buffered(
+                c1, (jnp.zeros((1, Np), jnp.float32), jnp.float32(0.0))
+            )
+
+
+            # ---- solve ----
+            w_small, w_y, w_c, w_s = _small_w_terms(pv, st_c)
+            rowsum_y = col_scr[:, 0:1]
+            u_t, y_t, s_t, t_t = _solve_kkt(
+                pv, st_c, d, u_part, rowsum_y, eGtw, w_small, w_y, w_c, w_s
+            )
+            col_scr[:, 1:2] = y_t
+
+            # ---- sweep 2: zt + in-place row updates ----
+            def c2(t, g, carry2):
+                r = rows(t)
+                zt_blk = (
+                    jnp.sum(g * u_t[None], axis=2)
+                    - eGy_ref[r, :] * col_scr[r, 1:2]
+                    - eGt_ref[r, :] * t_t
+                )
+                z_new, yd_new = _row_update(
+                    al, zG_scr[r, :], ydG_scr[r, :], zt_blk, rvG_ref[r, :],
+                    lbG_ref[r, :], ubG_ref[r, :], maskG_ref[r, :],
+                )
+                zG_scr[r, :] = z_new
+                ydG_scr[r, :] = yd_new
+                return carry2
+
+            double_buffered(c2, jnp.float32(0.0))
+
+            u_new, s_new, t_new, coly, z_sm, yd_sm = _small_updates(
+                pv, st_c, d, u_t, y_t, s_t, t_t
+            )
+            return (u_new, s_new, t_new, coly, z_sm, yd_sm)
+
+        init = (
+            state_refs[0][...], state_refs[1][...], state_refs[2][...],
+            state_refs[3][...], state_refs[6][...], state_refs[7][...],
+        )
         final = jax.lax.fori_loop(0, chunk, iter_step, init)
-        for o_ref, val in zip(out_refs, final):
-            o_ref[...] = val
+        out_refs[0][...] = final[0]
+        out_refs[1][...] = final[1]
+        out_refs[2][...] = final[2]
+        out_refs[3][...] = final[3]
+        out_refs[4][...] = zG_scr[...]
+        out_refs[5][...] = ydG_scr[...]
+        out_refs[6][...] = final[4]
+        out_refs[7][...] = final[5]
+        out_refs[n_state][...] = jnp.zeros((1, Np), jnp.float32)
+        out_refs[n_state + 1][...] = jnp.zeros((d.Mp, 8), jnp.float32)
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
         + [pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_param
     )
-    out_specs = tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state)
-    out_shape = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in state)
+    out_specs = tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out)
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in state]
+        + [
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((d.Mp, 8), jnp.float32),
+        ]
+    )
 
     result = pl.pallas_call(
         kernel,
@@ -603,13 +744,15 @@ def admm_chunk_pallas(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
+            pltpu.VMEM((d.Mp, 8), jnp.float32),
             pltpu.VMEM((2, TM, Kp, Np), jnp.float32),
+            pltpu.VMEM((d.Mp, d.Kp), jnp.float32),
             pltpu.VMEM((d.Mp, d.Kp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*state, p.Gs, *params)
-    return ScaledState(*result)
+    return ScaledState(*result[:n_state])
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# TPU f32 matmuls default to bf16 MXU passes; the trajectory-optimization
+# kernels are accuracy-sensitive (the ADMM convergence rate tracks KKT solve
+# precision), so pin full-f32 arithmetic
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def make(num_iters):
     from riskaversetrajopt_tpu.core.config import (

@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from riskaversetrajopt_tpu.core.config import SCPConfig, SolverConfig
 from riskaversetrajopt_tpu.ops import admm
@@ -242,7 +243,7 @@ class SAAQPOps:
         r_c = sc.c * (jnp.sum(y) + self.Malpha * t)
         r_y = sc.y * (-y - s)
         # sample rows: m*(G_i u - gy*(y_i + t)) (gy=0 for baseline)
-        Gu = jnp.einsum("mkn,n->mk", self.data.G, u)
+        Gu = jnp.einsum("mkn,n->mk", self.data.G, u, precision=lax.Precision.HIGHEST)
         r_G = sc.g * m * (Gu - sc.gy * (y[:, None] + t))
         r_s = sc.s * (-s)
         r_u = u
@@ -254,7 +255,11 @@ class SAAQPOps:
         st, sc, m = self.st, self.scales, self.m
         w_f, w_c, w_y, w_G, w_s, w_u = self._split_w(w)
         wG = sc.g * m * w_G  # (M, K) effective sample-row weights
-        u_part = self.data.F.T @ w_f + jnp.einsum("mkn,mk->n", self.data.G, wG) + w_u
+        u_part = (
+            self.data.F.T @ w_f
+            + jnp.einsum("mkn,mk->n", self.data.G, wG, precision=lax.Precision.HIGHEST)
+            + w_u
+        )
         row_sums = jnp.sum(wG, axis=1)  # (M,)
         y_part = sc.c * w_c - sc.y * w_y - sc.gy * row_sums
         s_part = -jnp.sum(sc.y * w_y) - sc.s * w_s
@@ -337,14 +342,19 @@ class SAAQPOps:
 
         # --- coupled block N_vv (v = [u, s, t]) ---
         # uu: c*P_u + sigma_u + F^T Rf F + sum_i G_i^T diag(wG_i) G_i + rho_u
-        B = jnp.einsum("mkn,mk,mkp->np", data.G, wG, data.G)
+        B = jnp.einsum(
+            "mkn,mk,mkp->np", data.G, wG, data.G,
+            precision=lax.Precision.HIGHEST,
+        )
         N_uu = (
             jnp.diag(cost_scale * self.p_diag[:n] + sigma_u + rho_u)
             + data.F.T @ (rho_f[:, None] * data.F)
             + B
         )
         # u-t coupling: sum rows of sample blocks: -gy * sum_i G_i^T wG_i
-        Gw = jnp.einsum("mkn,mk->n", data.G, wG)  # sum_i G_i^T wG_i 1
+        Gw = jnp.einsum(
+            "mkn,mk->n", data.G, wG, precision=lax.Precision.HIGHEST
+        )  # sum_i G_i^T wG_i 1
         N_ut = -sc.gy * Gw  # (n,)
         N_us = jnp.zeros(n, dtype)
         # ss: sigma_s + c*P_ss + sum_i rho_y sc_y^2 + rho_s sc_s^2
@@ -375,7 +385,9 @@ class SAAQPOps:
 
         # --- y-v coupling C (M, n+2): row i = [C_u_i | C_s_i | C_t_i] ---
         # y_i - u: -gy * G_i^T wG_i  (n,)
-        C_u = -sc.gy * jnp.einsum("mkn,mk->mn", data.G, wG)  # (M, n)
+        C_u = -sc.gy * jnp.einsum(
+            "mkn,mk->mn", data.G, wG, precision=lax.Precision.HIGHEST
+        )  # (M, n)
         # y_i - s: rho_y_i sc_y_i^2
         C_s = (rho_y * sc.y**2)[:, None]  # (M, 1)
         # y_i - t: beta*Malpha + gy^2 * rowsum_wG_i

@@ -836,3 +836,146 @@ def flat_to_state(
         z_small=z_small,
         yd_small=yd_small,
     )
+
+
+# ---------------------------------------------------------------------------
+# solver integration: chunked ADMM with XLA-side termination checks
+# ---------------------------------------------------------------------------
+
+
+def solve_saa_qp_pallas(
+    st: SAAQPStatic,
+    data: SAAQPData,
+    scp_iter,
+    cfg,
+    x0=None,
+    y0=None,
+    ruiz_iters: int = 5,
+    chunk: int = 100,
+    # TM=32 keeps the kernel inside the 16MB scoped-vmem limit when embedded
+    # in the full SCP while-loop (TM=64 overflows by ~1.2MB at M=512)
+    TM: int = 32,
+    interpret: bool = False,
+):
+    """OSQP-semantics solve of the structured SAA QP with the fused Pallas
+    kernel: `chunk` ADMM iterations per kernel launch, unscaled-residual
+    termination checked between chunks (rho fixed at cfg.rho after Ruiz —
+    adaptive rho would need a refactorization per update; the equilibration
+    makes the fixed value effective in practice).
+
+    Returns an ops.admm.QPSolution. Supported envelope: kernel_dims(st).Mp
+    <= 512 on current hardware (see module STATUS note); callers should fall
+    back to ops.saa_qp.solve_saa_qp beyond it.
+    """
+    from riskaversetrajopt_tpu.ops.admm import QPSolution
+
+    d = kernel_dims(st, TM)
+    dtype = jnp.float32
+    ops = SAAQPOps(st, data, scp_iter)
+    p_diag, q = build_objective(st, data)
+    l, u = build_bounds(st, data, scp_iter)
+    scaling = admm_mod.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters)
+    rho = jnp.asarray(cfg.rho, dtype)
+    p, (D, E, c_cost) = scaled_structure(
+        st, data, scp_iter, scaling, rho, cfg, TM=TM
+    )
+
+    if x0 is None:
+        state = init_scaled_state(p, d)
+    else:
+        xbar = (x0.astype(dtype) / D).astype(dtype)
+        ybar = (c_cost * y0.astype(dtype) / E).astype(dtype)
+        sops = admm_mod.ScaledOps(ops, scaling)
+        ls_s = E * l
+        us_s = E * u
+        zbar = jnp.clip(sops.matvec_A(xbar), ls_s, us_s).astype(dtype)
+        state = flat_to_state(p, xbar, zbar, ybar, st, d)
+
+    q_norm = jnp.max(jnp.abs(q))
+
+    sops = admm_mod.ScaledOps(ops, scaling)
+    qs_v = (c_cost * D * q).astype(dtype)
+
+    def residuals(pp, state):
+        xb, zb, yb = state_to_flat(pp, state, st, d)
+        x_u = (D * xb).astype(dtype)
+        z_u = (zb / E).astype(dtype)
+        y_u = (E * yb / c_cost).astype(dtype)
+        Ax = ops.matvec_A(x_u)
+        Px = ops.matvec_P(x_u)
+        Aty = ops.rmatvec_A(y_u)
+        prim = jnp.max(jnp.abs(Ax - z_u))
+        dual = jnp.max(jnp.abs(Px + q + Aty))
+        denom_p = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z_u)))
+        denom_d = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))), q_norm
+        )
+        eps_prim = cfg.eps_abs + cfg.eps_rel * denom_p
+        eps_dual = cfg.eps_abs + cfg.eps_rel * denom_d
+        # adaptive-rho ratio from SCALED residuals (OSQP sec 5.2 — the
+        # unscaled ratio is dominated by the slack-penalty q and collapses
+        # rho)
+        Ax_s = sops.matvec_A(xb)
+        Px_s = sops.matvec_P(xb)
+        Aty_s = sops.rmatvec_A(yb)
+        prim_s = jnp.max(jnp.abs(Ax_s - zb))
+        dual_s = jnp.max(jnp.abs(Px_s + qs_v + Aty_s))
+        den_ps = jnp.maximum(jnp.max(jnp.abs(Ax_s)), jnp.max(jnp.abs(zb))) + 1e-30
+        den_ds = (
+            jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(Px_s)), jnp.max(jnp.abs(Aty_s))),
+                jnp.max(jnp.abs(qs_v)),
+            )
+            + 1e-30
+        )
+        ratio = (prim_s / den_ps) / (dual_s / den_ds + 1e-30)
+        return prim, dual, (prim <= eps_prim) & (dual <= eps_dual), ratio
+
+    def cond(carry):
+        state, pp, rho_c, it, prim, dual, done = carry
+        return jnp.logical_not(done) & (it < cfg.max_iter)
+
+    def body(carry):
+        state, pp, rho_c, it, _, _, _ = carry
+        state = admm_chunk_pallas(pp, state, d, chunk, interpret=interpret)
+        prim, dual, ok, ratio = residuals(pp, state)
+        if cfg.adaptive_rho:
+            rho_new = jnp.clip(rho_c * jnp.sqrt(ratio), 1e-6, 1e6)
+            do_update = (
+                ((rho_new > 5.0 * rho_c) | (rho_new < rho_c / 5.0))
+                & jnp.logical_not(ok)
+            )
+            rho_c = jnp.where(do_update, rho_new, rho_c)
+            pp = jax.lax.cond(
+                do_update,
+                lambda r: scaled_structure(
+                    st, data, scp_iter, scaling, r, cfg, TM=TM
+                )[0],
+                lambda r: pp,
+                rho_c,
+            )
+        return (state, pp, rho_c, it + chunk, prim, dual, ok)
+
+    init = (
+        state,
+        p,
+        rho,
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(False),
+    )
+    state, p, rho, iters, prim, dual, done = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    xb, zb, yb = state_to_flat(p, state, st, d)
+    return QPSolution(
+        x=D * xb,
+        y=E * yb / c_cost,
+        z=zb / E,
+        iters=iters,
+        prim_res=prim,
+        dual_res=dual,
+        solved=done,
+    )

@@ -81,6 +81,7 @@ class SAATrajOpt:
         slack_penalty: Optional[float] = None,
         baseline_pad: float = 0.0,
         dtype=jnp.float64,
+        pallas_interpret: bool = False,
     ):
         self.model = model
         self.method = method
@@ -96,6 +97,7 @@ class SAATrajOpt:
             eps_abs=1e-5, eps_rel=1e-5, max_iter=10000
         )
         self.dtype = dtype
+        self.pallas_interpret = pallas_interpret
         scn = model.scn
         n = model.S * model.n_u
         if scp_cfg is None:
@@ -155,6 +157,21 @@ class SAATrajOpt:
             return ipm_solve()
         elif self.qp_backend == "admm":
             return admm_solve()
+        elif self.qp_backend == "admm-pallas":
+            # Fused-kernel ADMM (ops/pallas/saa_admm.py): ~100x lower
+            # per-iteration latency than the XLA path on a real chip.
+            # Envelope: f32 and Mp <= 512 per device (see kernel STATUS);
+            # fall back to the XLA path outside it.
+            from riskaversetrajopt_tpu.ops.pallas import saa_admm as _pk
+
+            if self.dtype != jnp.float32 or _pk.kernel_dims(st).Mp > 512:
+                return admm_solve()
+            x0 = warm[0] if warm is not None else None
+            y0 = warm[1] if warm is not None else None
+            return _pk.solve_saa_qp_pallas(
+                st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
+                interpret=self.pallas_interpret,
+            )
         elif self.qp_backend == "hybrid":
             # The first post-gating subproblems involve a large active-set
             # shift (the linearized obstacle rows switch on all at once,
@@ -175,6 +192,7 @@ class SAATrajOpt:
         car/driving.py:500-513)."""
         if M is None:
             M = jax.tree.leaves(omegas)[0].shape[0]
+        omegas = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), omegas)
         st = self._static_for(M)
         model = self.model
         n = st.n

@@ -29,15 +29,19 @@ rank-1 vector.
 `one_iter_ref` is the identical iteration in plain jnp: it backs correctness
 tests of the kernel and serves as an XLA fallback fast path.
 
-STATUS (round 1): bitwise-validated against the jnp reference in interpret
-mode at all sizes and ON DEVICE up to Mp = 512 (when the reference runs with
-jax_default_matmul_precision=highest — the default TPU f32 einsum uses bf16
-MXU passes and differs at ~1e-1). At Mp = 1024 single-kernel compilation
-currently exhausts VMEM stack space / faults the device on this experimental
-axon target; per-chip shards of M <= 512 (the sharded-fleet regime) are the
-supported envelope. SCP-solver integration is the next step; Mosaic findings
-are documented inline (validated op forms, canary outputs, static DMA
-slots).
+STATUS (round 1): the CHUNK KERNEL is validated bitwise against the jnp
+reference in interpret mode at all sizes and ON DEVICE up to Mp = 512
+(TM 16/32/64; compare against a jax_default_matmul_precision=highest
+reference — the default TPU f32 einsum uses bf16 MXU passes and differs at
+~1e-1). Standalone chunk timing at M = 512: ~2-4 us/ADMM-iteration vs ~250 us
+for the XLA path (~100x). The integrated solver (solve_saa_qp_pallas,
+'admm-pallas' backend) passes its CPU interpret-mode tests, but when the
+kernel is embedded in larger jitted programs on the experimental axon target
+it hits a 16 MB scoped-vmem ceiling (TM = 64) or faults the device silently
+(observed at M = 512 inside jit(solve), and at Mp = 1024 standalone) —
+treat the backend as EXPERIMENTAL on this toolchain and use the default
+'admm' backend for production runs. Mosaic findings are documented inline
+(validated op forms, canary outputs, static DMA slots).
 
 colp slots: 0 rv_y | 1 lb_y | 2 ub_y | 3 mask_y | 4 cy_hat | 5 yd_hat
             | 6 ys_hat | 7 Dinv | 8 wD

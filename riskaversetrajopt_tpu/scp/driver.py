@@ -159,9 +159,11 @@ class SAATrajOpt:
             return admm_solve()
         elif self.qp_backend == "admm-pallas":
             # Fused-kernel ADMM (ops/pallas/saa_admm.py): ~100x lower
-            # per-iteration latency than the XLA path on a real chip.
-            # Envelope: f32 and Mp <= 512 per device (see kernel STATUS);
-            # fall back to the XLA path outside it.
+            # per-iteration latency than the XLA path on a real chip, but
+            # EXPERIMENTAL on the current axon toolchain — embedding the
+            # kernel in large jitted programs can fault the device (see the
+            # kernel STATUS note). Envelope: f32 and Mp <= 512 per device;
+            # falls back to the XLA path outside it.
             from riskaversetrajopt_tpu.ops.pallas import saa_admm as _pk
 
             if self.dtype != jnp.float32 or _pk.kernel_dims(st).Mp > 512:

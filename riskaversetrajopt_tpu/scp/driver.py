@@ -231,7 +231,13 @@ class SAATrajOpt:
         )
 
     # -- instrumented solve: define/solve timing split ----------------------
-    def solve_instrumented(self, omegas, alpha, M: Optional[int] = None):
+    def solve_instrumented(
+        self,
+        omegas,
+        alpha,
+        M: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+    ):
         """Python-driven SCP loop with separately jitted define and solve
         phases, reproducing the reference's timing harness semantics
         (car/driving.py:482-513: per-iteration define time, solve time,
@@ -267,9 +273,24 @@ class SAATrajOpt:
         d0 = define_fn(us_prev, omegas, alpha)
         jax.block_until_ready(solve_fn(d0, jnp.asarray(0), warm))
 
+        # mid-solve checkpoint/resume (SURVEY.md section 5): resume at the
+        # recorded iteration with the saved iterate and ADMM warm starts
+        start_iter = 0
+        if checkpoint_path is not None:
+            from riskaversetrajopt_tpu.utils import checkpoint as ckpt
+
+            saved = ckpt.load(checkpoint_path)
+            if saved is not None:
+                start_iter = saved.scp_iter
+                us_prev = jnp.asarray(saved.us, self.dtype)
+                warm = (
+                    jnp.asarray(saved.warm_x, self.dtype),
+                    jnp.asarray(saved.warm_y, self.dtype),
+                )
+
         define_times, solve_times, cum_times, l2s = [], [], [], []
         total = 0.0
-        for it in range(self.scp_cfg.num_iters):
+        for it in range(start_iter, self.scp_cfg.num_iters):
             t0 = _time.perf_counter()
             data = jax.block_until_ready(define_fn(us_prev, omegas, alpha))
             t_def = _time.perf_counter() - t0
@@ -284,6 +305,10 @@ class SAATrajOpt:
             define_times.append(t_def)
             solve_times.append(t_sol)
             cum_times.append(total)
+            if checkpoint_path is not None:
+                from riskaversetrajopt_tpu.utils import checkpoint as ckpt
+
+                ckpt.save(checkpoint_path, it + 1, us_prev, warm[0], warm[1])
         xs = rollout_batch(model, us_prev, omegas)
         return {
             "us": us_prev,

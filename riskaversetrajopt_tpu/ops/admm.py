@@ -64,6 +64,9 @@ class QPSolution(NamedTuple):
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
     solved: jnp.ndarray  # bool
+    # OSQP-style infeasibility certificates (False when not computed)
+    prim_infeasible: jnp.ndarray = jnp.asarray(False)
+    dual_infeasible: jnp.ndarray = jnp.asarray(False)
 
 
 class Scaling(NamedTuple):
@@ -103,7 +106,11 @@ def ruiz_equilibrate(ops, q, l, u, iters: int = 5) -> Scaling:
         colP_new = c * D * ops.col_inf_norms_P(D)
         gamma_denom = jnp.maximum(jnp.mean(colP_new), jnp.max(jnp.abs(c * D * q)))
         gamma = 1.0 / jnp.clip(gamma_denom, _MIN_SCALING, _MAX_SCALING)
-        c = c * gamma
+        # bound the accumulated cost scaling: with a fully degenerate
+        # objective (P = 0, q = 0) gamma compounds every sweep and an
+        # unbounded c crushes the dual iterates below the infeasibility
+        # certificates' noise guards
+        c = jnp.clip(c * gamma, 1e-6, 1e6)
         return (D, E, c)
 
     D, E, c = lax.fori_loop(0, iters, body, (D, E, c))
@@ -161,12 +168,16 @@ class _State(NamedTuple):
     x: jnp.ndarray
     z: jnp.ndarray
     y: jnp.ndarray
+    x_prev: jnp.ndarray
+    y_prev: jnp.ndarray
     rho: jnp.ndarray  # scalar base rho (adapted)
     factor: Any
     it: jnp.ndarray
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
     done: jnp.ndarray
+    prim_inf: jnp.ndarray
+    dual_inf: jnp.ndarray
 
 
 def admm_solve(
@@ -259,6 +270,47 @@ def admm_solve(
     def cond(s: _State):
         return jnp.logical_not(s.done) & (s.it < cfg.max_iter)
 
+    def infeasibility(x, y, x_prev, y_prev):
+        """OSQP infeasibility certificates from the iterate deltas
+        (Stellato et al. sec 3.4), in unscaled quantities."""
+        eps_inf = 1e-4
+        dy = (y - y_prev) * E / c  # unscaled dual delta
+        dy_norm = jnp.max(jnp.abs(dy))
+        Atdy = ops.rmatvec_A(dy)
+        sup = jnp.sum(
+            jnp.where(dy > 0, jnp.where(jnp.isfinite(u), u, jnp.inf) * dy, 0.0)
+        ) + jnp.sum(
+            jnp.where(dy < 0, jnp.where(jnp.isfinite(l), l, -jnp.inf) * dy, 0.0)
+        )
+        prim_inf = (
+            (dy_norm > 1e-10)
+            & (jnp.max(jnp.abs(Atdy)) <= eps_inf * dy_norm)
+            & (sup <= eps_inf * dy_norm)
+        )
+
+        dx = (x - x_prev) * D  # unscaled primal delta
+        dx_norm = jnp.max(jnp.abs(dx))
+        Pdx = ops.matvec_P(dx)
+        Adx = ops.matvec_A(dx)
+        cone_ok = jnp.all(
+            jnp.where(
+                jnp.isinf(u),
+                jnp.where(jnp.isinf(-l), True, Adx >= -eps_inf * dx_norm),
+                jnp.where(
+                    jnp.isinf(-l),
+                    Adx <= eps_inf * dx_norm,
+                    jnp.abs(Adx) <= eps_inf * dx_norm,
+                ),
+            )
+        )
+        dual_inf = (
+            (dx_norm > 1e-10)
+            & (jnp.max(jnp.abs(Pdx)) <= eps_inf * dx_norm)
+            & (jnp.dot(q, dx) <= eps_inf * dx_norm)
+            & cone_ok
+        )
+        return prim_inf, dual_inf
+
     def body(s: _State):
         def inner(_, xzy):
             x, z, y = xzy
@@ -267,6 +319,7 @@ def admm_solve(
         x, z, y = lax.fori_loop(0, cfg.check_every, inner, (s.x, s.z, s.y))
         prim, dual, eps_prim, eps_dual, ratio = residuals(x, z, y)
         solved = (prim <= eps_prim) & (dual <= eps_dual)
+        prim_inf, dual_inf = infeasibility(x, y, s.x, s.y)
 
         if cfg.adaptive_rho:
             rho_new = jnp.clip(s.rho * jnp.sqrt(ratio), _RHO_MIN, _RHO_MAX)
@@ -287,24 +340,32 @@ def admm_solve(
             x=x,
             z=z,
             y=y,
+            x_prev=s.x,
+            y_prev=s.y,
             rho=rho,
             factor=factor,
             it=s.it + cfg.check_every,
             prim_res=prim,
             dual_res=dual,
-            done=solved,
+            done=solved | prim_inf | dual_inf,
+            prim_inf=prim_inf,
+            dual_inf=dual_inf,
         )
 
     init = _State(
         x=x,
         z=z,
         y=y,
+        x_prev=x,
+        y_prev=y,
         rho=rho0,
         factor=factor0,
         it=jnp.zeros((), jnp.int32),
         prim_res=jnp.asarray(jnp.inf, dtype),
         dual_res=jnp.asarray(jnp.inf, dtype),
         done=jnp.asarray(False),
+        prim_inf=jnp.asarray(False),
+        dual_inf=jnp.asarray(False),
     )
     s = lax.while_loop(cond, body, init)
 
@@ -323,7 +384,9 @@ def admm_solve(
         iters=s.it,
         prim_res=s.prim_res,
         dual_res=s.dual_res,
-        solved=s.done,
+        solved=s.done & jnp.logical_not(s.prim_inf | s.dual_inf),
+        prim_infeasible=s.prim_inf,
+        dual_infeasible=s.dual_inf,
     )
 
 

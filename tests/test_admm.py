@@ -166,3 +166,29 @@ def test_avar_estimation_qp():
     var_cf = Zs[k]
     avar_cf = var_cf + np.mean(np.maximum(Z - var_cf, 0.0)) / alpha
     assert avar_qp == pytest.approx(avar_cf, abs=1e-4)
+
+
+def test_primal_infeasibility_certificate():
+    """x >= 1 and x <= 0 simultaneously: OSQP-style primal infeasibility
+    certificate must fire instead of grinding to max_iter."""
+    P = jnp.zeros((1, 1))
+    q = jnp.zeros(1)
+    A = jnp.array([[1.0], [1.0]])
+    l = jnp.array([1.0, -jnp.inf])
+    u = jnp.array([jnp.inf, 0.0])
+    sol = solve_dense_qp(P, q, A, l, u, SolverConfig(max_iter=4000, polish=False))
+    assert bool(sol.prim_infeasible)
+    assert not bool(sol.solved)
+
+
+def test_dual_infeasibility_certificate():
+    """min -x s.t. x >= 0: unbounded below -> dual infeasibility
+    certificate."""
+    P = jnp.zeros((1, 1))
+    q = jnp.array([-1.0])
+    A = jnp.array([[1.0]])
+    l = jnp.array([0.0])
+    u = jnp.array([jnp.inf])
+    sol = solve_dense_qp(P, q, A, l, u, SolverConfig(max_iter=4000, polish=False))
+    assert bool(sol.dual_infeasible)
+    assert not bool(sol.solved)

@@ -126,6 +126,7 @@ class ScaledSAA(NamedTuple):
     Sinv: jnp.ndarray  # (128, 128)
     Cbar: jnp.ndarray  # (Mp, 128)
     ct_hat: jnp.ndarray  # (1, 1)
+    cs_hat: jnp.ndarray  # (1, 1) scaled CVaR-row slack coefficient
     ss_hat: jnp.ndarray  # (1, 1)
     q_hat_s: jnp.ndarray  # (1, 1)
     sm_beta: jnp.ndarray  # (1, 1)
@@ -203,6 +204,9 @@ def scaled_structure(
     cu = (E_u * D_u).astype(dtype)
     cy_hat = (sc.c * E_c * D_y).astype(dtype)
     ct_hat = (sc.c * E_c * ops.Malpha * D_t).astype(dtype)
+    # CVaR row includes the slack column (sum(y) + s + Malpha*t <= 0;
+    # car/driving.py:341-342, drone/drone_risk.py:336-337)
+    cs_hat = (sc.c * E_c * D_s).astype(dtype)
     yd_hat = (sc.y * E_y * D_y).astype(dtype)
     ys_hat = (sc.y * E_y * D_s).astype(dtype)
     ss_hat = (sc.s * E_s * D_s).astype(dtype)
@@ -231,7 +235,10 @@ def scaled_structure(
     sm_denom = 1.0 + rv_c_h * jnp.sum(w_vec * wD)
 
     C_u = -jnp.einsum("mk,mkn->mn", rv_G_h * eGy_h, Gs_h)
-    C_s = (rv_y.astype(hi) * yd_hat.astype(hi) * ys_hat.astype(hi))[:, None]
+    C_s = (
+        rv_y.astype(hi) * yd_hat.astype(hi) * ys_hat.astype(hi)
+        + rv_c_h * w_vec * cs_hat.astype(hi)
+    )[:, None]
     C_t = (
         jnp.sum(rv_G_h * eGy_h * eGt_h, axis=1)
         + rv_c_h * w_vec * ct_hat.astype(hi)
@@ -250,18 +257,22 @@ def scaled_structure(
         + sigma.astype(hi)
         + jnp.sum(rv_y.astype(hi) * ys_hat.astype(hi) ** 2)
         + rv_s.astype(hi) * ss_hat.astype(hi) ** 2
+        + rv_c_h * cs_hat.astype(hi) ** 2
     )
     N_tt = (
         sigma.astype(hi)
         + rv_c_h * ct_hat.astype(hi) ** 2
         + jnp.sum(rv_G_h * eGt_h**2)
     )
+    N_st = rv_c_h * cs_hat.astype(hi) * ct_hat.astype(hi)
     nv2 = n + 2
     N_vv = jnp.zeros((nv2, nv2), hi)
     N_vv = N_vv.at[:n, :n].set(N_uu)
     N_vv = N_vv.at[:n, n + 1].set(N_ut)
     N_vv = N_vv.at[n + 1, :n].set(N_ut)
     N_vv = N_vv.at[n, n].set(N_ss)
+    N_vv = N_vv.at[n, n + 1].set(N_st)
+    N_vv = N_vv.at[n + 1, n].set(N_st)
     N_vv = N_vv.at[n + 1, n + 1].set(N_tt)
 
     DinvC = Dinv[:, None] * Cbar
@@ -349,6 +360,7 @@ def scaled_structure(
         Sinv=_pad_to(_pad_to(Sinv_small, LANES, 0), LANES, 1),
         Cbar=_pad_to(_pad_to(Cbar, LANES, 1), Mp, 0),
         ct_hat=s11(ct_hat),
+        cs_hat=s11(cs_hat),
         ss_hat=s11(ss_hat),
         q_hat_s=s11(q_hat[n + M]),
         sm_beta=s11(rv_c),
@@ -442,6 +454,7 @@ def _solve_kkt(p: ScaledSAA, s: ScaledState, d: KernelDims,
     rhs_s = (
         sig * s.s[0, 0]
         - p.q_hat_s[0, 0]
+        + p.cs_hat[0, 0] * w_c
         - jnp.sum(ys_hat * w_y)
         - p.ss_hat[0, 0] * w_s
     )
@@ -496,7 +509,7 @@ def _small_updates(p: ScaledSAA, s: ScaledState, d: KernelDims,
     n_fc = d.n_fc
 
     zt_y = -yd_hat * y_t - ys_hat * s_t
-    zt_c = jnp.sum(cy_hat * y_t) + p.ct_hat[0, 0] * t_t
+    zt_c = jnp.sum(cy_hat * y_t) + p.cs_hat[0, 0] * s_t + p.ct_hat[0, 0] * t_t
     zt_s = -p.ss_hat[0, 0] * s_t
     zt_small = jnp.where(iota >= 8, _roll(p.cu[...] * u_t, 8), 0.0)
     for j in range(n_fc):

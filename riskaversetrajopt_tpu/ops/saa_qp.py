@@ -240,7 +240,11 @@ class SAAQPOps:
         st, sc, m = self.st, self.scales, self.m
         u, y, s, t = self._split_z(z)
         r_final = self.data.F @ u
-        r_c = sc.c * (jnp.sum(y) + self.Malpha * t)
+        # CVaR row: sum(y) + s + M*alpha*t <= 0 — the reference sets columns
+        # n_u*S through -2 INCLUSIVE to 1.0, which covers the slack column
+        # (car/driving.py:341-342 `.at[0, (n_u*S):-1].set(1.0)`,
+        # drone/drone_risk.py:336-337)
+        r_c = sc.c * (jnp.sum(y) + s + self.Malpha * t)
         r_y = sc.y * (-y - s)
         # sample rows: m*(G_i u - gy*(y_i + t)) (gy=0 for baseline)
         Gu = jnp.einsum("mkn,n->mk", self.data.G, u, precision=lax.Precision.HIGHEST)
@@ -262,7 +266,7 @@ class SAAQPOps:
         )
         row_sums = jnp.sum(wG, axis=1)  # (M,)
         y_part = sc.c * w_c - sc.y * w_y - sc.gy * row_sums
-        s_part = -jnp.sum(sc.y * w_y) - sc.s * w_s
+        s_part = sc.c * w_c - jnp.sum(sc.y * w_y) - sc.s * w_s
         t_part = sc.c * self.Malpha * w_c - sc.gy * jnp.sum(row_sums)
         return jnp.concatenate([u_part, y_part, s_part[None], t_part[None]])
 
@@ -277,7 +281,9 @@ class SAAQPOps:
         st, sc, m = self.st, self.scales, self.m
         D_u, D_y, D_s, D_t = self._split_D(D)
         r_final = jnp.max(jnp.abs(self.data.F) * D_u[None, :], axis=1)
-        r_c = sc.c * jnp.maximum(jnp.max(D_y), self.Malpha * D_t)
+        r_c = sc.c * jnp.maximum(
+            jnp.maximum(jnp.max(D_y), D_s), self.Malpha * D_t
+        )
         r_y = sc.y * jnp.maximum(D_y, D_s)
         gu = jnp.max(jnp.abs(self.data.G) * D_u[None, None, :], axis=2)  # (M,K)
         r_G = sc.g * m * jnp.maximum(
@@ -304,7 +310,9 @@ class SAAQPOps:
             sc.c * E_c,
             jnp.maximum(sc.y * E_y, sc.g * m * sc.gy * jnp.max(E_G, axis=1)),
         )
-        c_s = jnp.maximum(jnp.max(sc.y * E_y), sc.s * E_s)
+        c_s = jnp.maximum(
+            sc.c * E_c, jnp.maximum(jnp.max(sc.y * E_y), sc.s * E_s)
+        )
         c_t = jnp.maximum(
             sc.c * self.Malpha * E_c, sc.g * m * sc.gy * jnp.max(E_G)
         )
@@ -357,20 +365,22 @@ class SAAQPOps:
         )  # sum_i G_i^T wG_i 1
         N_ut = -sc.gy * Gw  # (n,)
         N_us = jnp.zeros(n, dtype)
-        # ss: sigma_s + c*P_ss + sum_i rho_y sc_y^2 + rho_s sc_s^2
+        # ss: sigma_s + c*P_ss + sum_i rho_y sc_y^2 + rho_s sc_s^2 + beta
+        # (the CVaR row sum(y)+s+Malpha*t contributes rho_c*a a^T with
+        #  a = sc_c*[1_M | 1 | Malpha] over (y, s, t))
         N_ss = (
             cost_scale * self.p_diag[n + M]
             + sigma_s
             + jnp.sum(rho_y * sc.y**2)
             + rho_s * sc.s**2
+            + beta
         )
-        # st: 0 ; tt:
         N_tt = (
             sigma_t
             + beta * self.Malpha**2
             + sc.gy**2 * jnp.sum(rowsum_wG)
         )
-        N_st = jnp.zeros((), dtype)
+        N_st = beta * self.Malpha
 
         N_vv = jnp.zeros((n + 2, n + 2), dtype)
         N_vv = N_vv.at[:n, :n].set(N_uu)
@@ -388,8 +398,8 @@ class SAAQPOps:
         C_u = -sc.gy * jnp.einsum(
             "mkn,mk->mn", data.G, wG, precision=lax.Precision.HIGHEST
         )  # (M, n)
-        # y_i - s: rho_y_i sc_y_i^2
-        C_s = (rho_y * sc.y**2)[:, None]  # (M, 1)
+        # y_i - s: rho_y_i sc_y_i^2 (from the -y_i - s rows) + beta (CVaR row)
+        C_s = (rho_y * sc.y**2 + beta)[:, None]  # (M, 1)
         # y_i - t: beta*Malpha + gy^2 * rowsum_wG_i
         C_t = (beta * self.Malpha + sc.gy**2 * rowsum_wG)[:, None]
         C = jnp.concatenate([C_u, C_s, C_t], axis=1)  # (M, n+2)

@@ -321,10 +321,19 @@ class SAATrajOpt:
 
     # -- Monte-Carlo validation oracle -------------------------------------
     def monte_carlo(self, us, omegas, alpha, tol: Optional[float] = None):
-        """Out-of-sample validation (car/driving.py:618-740,
-        drone/drone_risk.py:643-762): per-sample max constraint <= tol + 1e-6
+        """Out-of-sample validation: per-sample max constraint <= tol + 1e-6
         => safe; returns safe fraction, AVaR of the max-constraint statistic,
-        and the control cost."""
+        and the control cost.
+
+        Statistic semantics per workload (verified against the reference):
+        car AND drone_risk feed `max(g) - OSQP_TOL` to both the safety test
+        and AVaR (car/driving.py:636 `np.max(val_obs) - OSQP_TOL`,
+        drone/drone_risk.py:660 `jnp.max(ineqs) - OSQP_TOL`), which this
+        method reproduces with the default tol. drone_main_plot and hopper
+        use the RAW max (drone_main_plot.py:637-639 with safe threshold
+        OSQP_TOL + 1e-6; hopper/hopper.py:923-924 with threshold 1e-6) —
+        those experiment harnesses compute their statistics directly and do
+        not route through this method (pass tol=0.0 to match them here)."""
         model = self.model
         tol = model.scn.osqp_tol if tol is None else tol
 

@@ -43,10 +43,12 @@ def dense_reference_A(st, data, scp_iter):
         rows.append(row)
         ls.append(float(data.f_rhs[r]))
         us.append(float(data.f_rhs[r]))
-    # cvar row
+    # cvar row — the reference sets columns n_u*S through -2 INCLUSIVE
+    # (`.at[0, (n_u*S):-1].set(1.0)`, car/driving.py:341-342), which covers
+    # the slack column: sum(y) + s + M*alpha*t <= 0
     row = np.zeros(nv)
     if not st.baseline:
-        row[n : n + M] = 1.0
+        row[n:-1] = 1.0
         row[-1] = Malpha
     rows.append(row)
     ls.append(-np.inf)

@@ -89,12 +89,15 @@ class SAATrajOpt:
         # tol 1e-5 (relative merit) is ~100x tighter than the reference's
         # OSQP_TOL and reliably attainable on the degenerate epigraph QPs
         self.ipm_cfg = ipm_cfg or IPMConfig(tol=1e-5, max_iter=40)
-        # eps 1e-5: the SCP tail L2 error tracks the QP tolerance (~10-100x);
-        # the reference's OSQP runs at 1e-3 but relies on polish for final
-        # accuracy. Warm starts make the tighter tolerance cheap (~90
-        # iterations per subproblem).
+        # eps 1e-6: measured against reference-semantics golden trajectories
+        # (tests/test_reference_parity.py), the SCP endpoint error tracks the
+        # QP tolerance with ~1000x amplification through the post-gating
+        # transition iterations: eps 1e-5 left a 1.9e-2 trajectory error at
+        # M=50 while 1e-6 achieves 2.2e-4 — inside the 1e-3 north star.
+        # The reference's OSQP runs at 1e-3 + polish; polish-on-termination
+        # is what actually delivered its accuracy.
         self.admm_cfg = admm_cfg or SolverConfig(
-            eps_abs=1e-5, eps_rel=1e-5, max_iter=10000
+            eps_abs=1e-6, eps_rel=1e-6, max_iter=20000
         )
         self.dtype = dtype
         self.pallas_interpret = pallas_interpret

@@ -585,6 +585,7 @@ def one_iter_ref(p: ScaledSAA, s: ScaledState, d: KernelDims) -> ScaledState:
 def admm_chunk_pallas(
     p: ScaledSAA, state: ScaledState, d: KernelDims, chunk: int,
     interpret: bool = False,
+    vmem_limit_bytes: int = 100 * 1024 * 1024,
 ) -> ScaledState:
     """Run `chunk` scaled ADMM iterations in one pallas_call.
 
@@ -768,6 +769,12 @@ def admm_chunk_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        # the Mosaic default scoped-vmem budget is 16MB; v5e VMEM is 128MB.
+        # The round-1 TM=64 overflow and the Mp=1024 "out of memory ...
+        # allocating on stack" were both artifacts of the default budget.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes
+        ),
     )(*state, p.Gs, *params)
     return ScaledState(*result[:n_state])
 

@@ -1,0 +1,202 @@
+"""Multi-host runtime: jax.distributed initialization, global meshes, and
+process-local data placement.
+
+The reference is strictly single-process (jax_platform_name pinned to 'cpu'
+in every script header, car/driving.py:18); its only parallelism is vmap over
+the M samples. The TPU-native equivalent (SURVEY.md section 2.3, row
+"Distributed comm backend") is:
+
+- `jax.distributed.initialize` over DCN for process discovery,
+- one global ('batch', 'samples') Mesh spanning every chip of every host,
+  host-major, so the `samples` axis shards host-locally first and the SAA
+  reductions (the (n+2)^2 Schur block, sum_i y_i, CVaR row sums — see
+  ops/saa_qp.py) ride ICI within a host before crossing DCN,
+- process-local data placement: each host materializes only its own M/num
+  hosts slice of the uncertainty pytree and the global array is assembled
+  with `jax.make_array_from_process_local_data` (no host ever holds the full
+  (M, K, n) Jacobian stack).
+
+On CPU the same code paths run multi-process with gloo collectives — that is
+how tests/test_distributed.py validates the layer without TPU pods
+(SURVEY.md section 4's prescription). Run
+
+    python -m riskaversetrajopt_tpu.parallel.distributed --selftest ...
+
+as one worker of such a pod-simulation (the test spawns two).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (idempotent).
+
+    With no arguments, jax auto-discovers cluster topology on TPU pods (GKE /
+    Cloud TPU metadata) and degrades to single-process elsewhere. Explicit
+    arguments support simulated pods (multi-process CPU with gloo
+    collectives) and bring-your-own cluster managers via the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
+    """
+    global _initialized
+    if _initialized:
+        return
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes in (None, 1):
+        # single process: nothing to connect, but mark initialized so the
+        # calling code path is identical on 1 host and N hosts
+        _initialized = True
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _initialized = True
+
+
+def is_initialized() -> bool:
+    return _initialized
+
+
+def global_devices_host_major() -> np.ndarray:
+    """All devices ordered (process, local id) so a flattened mesh axis
+    shards host-locally first."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return np.array(devs)
+
+
+def global_mesh(n_batch_devices: int = 1) -> Mesh:
+    """('batch', 'samples') mesh over every chip of every host, host-major
+    along `samples`. With n_batch_devices > 1 the leading devices split into
+    a batch axis for independent-problem fan-out (the (alpha x repeat)
+    sweep)."""
+    devs = global_devices_host_major()
+    n_samples = len(devs) // n_batch_devices
+    used = n_samples * n_batch_devices
+    return Mesh(
+        devs[:used].reshape(n_batch_devices, n_samples),
+        axis_names=("batch", "samples"),
+    )
+
+
+def process_sample_slice(M: int) -> slice:
+    """The [start, stop) sample range this process owns under a host-major
+    `samples` sharding of M total samples."""
+    nproc = jax.process_count()
+    per = M // nproc
+    if per * nproc != M:
+        raise ValueError(f"M={M} not divisible by process count {nproc}")
+    pid = jax.process_index()
+    return slice(pid * per, (pid + 1) * per)
+
+
+def shard_samples_global(local_pytree, mesh: Mesh, M: int, batched: bool = False):
+    """Assemble globally-sharded arrays from per-process local sample chunks.
+
+    `local_pytree` leaves carry this process's slice of the leading sample
+    axis (shape (M/num_processes, ...)); the result is a global array of
+    leading dim M sharded over the mesh's 'samples' axis. Single-process
+    meshes take the fast path through device_put."""
+    spec = P("batch", "samples") if batched else P("samples",)
+
+    def put(leaf):
+        ndim = np.ndim(leaf)
+        axes = list(spec)[: min(len(spec), ndim)] + [None] * (
+            ndim - len(spec)
+        )
+        sh = NamedSharding(mesh, P(*axes))
+        if jax.process_count() == 1:
+            return jax.device_put(leaf, sh)
+        global_shape = (M,) + tuple(np.shape(leaf)[1:])
+        return jax.make_array_from_process_local_data(sh, leaf, global_shape)
+
+    return jax.tree.map(put, local_pytree)
+
+
+def replicate_global(pytree, mesh: Mesh):
+    """Fetch a (possibly sharded) computation output as fully-replicated
+    host-local numpy — works across processes."""
+    rep = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, P())
+    )(pytree)
+    return jax.tree.map(np.asarray, rep)
+
+
+# ---------------------------------------------------------------------------
+# selftest worker (spawned by tests/test_distributed.py, 2-process CPU pod)
+# ---------------------------------------------------------------------------
+
+
+def _selftest(coordinator: str, num_processes: int, process_id: int) -> None:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # newer jax defaults to gloo when distributed is on
+    jax.config.update("jax_enable_x64", True)
+    initialize(coordinator, num_processes, process_id)
+
+    import jax.numpy as jnp
+
+    from riskaversetrajopt_tpu.core.config import DroneScenario, SCPConfig
+    from riskaversetrajopt_tpu.models.drone import DroneModel
+    from riskaversetrajopt_tpu.scp.driver import SAATrajOpt
+
+    model = DroneModel(DroneScenario())
+    opt = SAATrajOpt(
+        model,
+        method="saa",
+        scp_cfg=SCPConfig(
+            num_iters=6, gate_iters=2, gate_row_scale=1e-7,
+            gate_bound_l=-0.1, gate_bound_u=0.1,
+        ),
+    )
+    M = 16
+    # every process draws the same full sample set, keeps only its slice
+    om_full = opt.sample(jax.random.PRNGKey(0), M=M)
+    sl = process_sample_slice(M)
+    om_local = jax.tree.map(lambda x: np.asarray(x)[sl], om_full)
+
+    mesh = global_mesh()
+    om_sharded = shard_samples_global(om_local, mesh, M)
+    res = opt.solve(om_sharded, alpha=jnp.asarray(0.2, jnp.float64))
+    us = replicate_global(res.us, mesh)
+    print(
+        f"SELFTEST_OK pid={process_id} nproc={jax.process_count()} "
+        f"ndev={jax.device_count()} us_sum={float(np.sum(us)):.12e}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--selftest", action="store_true")
+    ap.add_argument("--coordinator", default="localhost:9932")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--process-id", type=int, required=True)
+    args = ap.parse_args()
+    if args.selftest:
+        _selftest(args.coordinator, args.num_processes, args.process_id)

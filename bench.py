@@ -1,6 +1,7 @@
 """Benchmark: drone_risk SAA SCP at M=1000 samples, full horizon, on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default mode prints ONE JSON line: {"metric", "value", "unit",
+"vs_baseline", ...extras}.
 
 metric: full SCP solves per second (one solve = 15 SCP iterations of
 linearize + CVaR-pack + QP solve at M=1000, the BASELINE.md north-star
@@ -12,8 +13,22 @@ on this host's CPU backend (f32). This is a conservative stand-in for the
 reference CPU harness — the reference's per-iteration host<->OSQP round trip
 and scipy.sparse rebuild of a ~61k-row matrix at M=1000 is strictly slower
 than our fused CPU path, so the true speedup vs the reference is higher.
+
+Honesty extras in the JSON line: qp_iters (per-SCP-iteration ADMM iteration
+counts — none may sit at the max_iter cap), qp_solved_all, l2_final (the
+SCP convergence metric; target <= 1e-3 per BASELINE.md).
+
+Scaling mode (--devices N [--platform cpu]): strong-scaling table of the
+SAME M=1000 solve sharded over 1..N mesh devices (BASELINE.md solves/s at
+1 chip / 1 host / N hosts; on a 1-chip host the table runs on the virtual
+CPU mesh to validate the harness + collectives — perf numbers remain the
+1-chip default mode). Efficiency = t_1 / (N * t_N).
+
+Env knobs: BENCH_M, BENCH_ITERS, BENCH_REPEATS, BENCH_BACKEND
+(admm | admm-pallas | hybrid | ipm), BENCH_EPS, BENCH_MAX_ITER.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -28,7 +43,7 @@ import jax.numpy as jnp
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
-def make(num_iters):
+def make(num_iters, backend, eps, max_iter):
     from riskaversetrajopt_tpu.core.config import (
         DroneScenario,
         SCPConfig,
@@ -48,8 +63,8 @@ def make(num_iters):
             gate_bound_l=-0.1,
             gate_bound_u=0.1,
         ),
-        qp_backend="admm",
-        admm_cfg=SolverConfig(eps_abs=1e-4, eps_rel=1e-4, max_iter=2000),
+        qp_backend=backend,
+        admm_cfg=SolverConfig(eps_abs=eps, eps_rel=eps, max_iter=max_iter),
         dtype=jnp.float32,
     )
 
@@ -70,20 +85,100 @@ def time_solve(opt, omegas, alpha, device, repeats):
     return min(times), res
 
 
+def scaling_mode(opt, M, iters, repeats, max_devices):
+    """Strong-scaling table over 1..max_devices mesh devices."""
+    from riskaversetrajopt_tpu.parallel.mesh import make_mesh, shard_samples
+
+    omegas = opt.sample(jax.random.PRNGKey(0), M=M)
+    rows = []
+    n = 1
+    counts = []
+    while n <= max_devices:
+        counts.append(n)
+        n *= 2
+    if counts[-1] != max_devices:
+        counts.append(max_devices)
+    for n in counts:
+        mesh = make_mesh(n_sample_devices=n)
+        om = shard_samples(omegas, mesh)
+        a = jnp.asarray(0.1, opt.dtype)
+        res = opt.solve(om, a)  # compile + warm
+        res.us.block_until_ready()
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            res = opt.solve(om, a)
+            res.us.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        rows.append((n, t))
+        print(f"[bench-scaling] devices={n} t={t:.4f}s "
+              f"solves/s={1.0/t:.4f}", file=sys.stderr)
+    t1 = rows[0][1]
+    tN = rows[-1][1]
+    N = rows[-1][0]
+    eff = t1 / (N * tN)
+    print(
+        json.dumps(
+            {
+                "metric": f"drone_risk SCP strong-scaling efficiency "
+                          f"(M={M}, {iters} iters, 1->{N} devices)",
+                "value": round(eff, 4),
+                "unit": "efficiency",
+                "vs_baseline": round(t1 / tN, 3),
+                "table": [
+                    {"devices": n, "seconds": round(t, 4)} for n, t in rows
+                ],
+            }
+        )
+    )
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=0,
+                    help="scaling mode: strong-scaling table over 1..N devices")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for the virtual mesh)")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.devices and args.platform == "cpu":
+        # virtual mesh: must be set before the CPU backend initializes
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+
     M = int(os.environ.get("BENCH_M", "1000"))
     iters = int(os.environ.get("BENCH_ITERS", "15"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    backend = os.environ.get("BENCH_BACKEND", "admm")
+    eps = float(os.environ.get("BENCH_EPS", "1e-4"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "20000"))
 
-    opt = make(iters)
+    opt = make(iters, backend, eps, max_iter)
+
+    if args.devices:
+        scaling_mode(opt, M, iters, repeats, args.devices)
+        return
+
     omegas = opt.sample(jax.random.PRNGKey(0), M=M)
 
     accel = jax.devices()[0]
     t_accel, res = time_solve(opt, omegas, 0.1, accel, repeats)
     l2_final = float(res.l2_errors[-1])
+    qp_iters = res.qp_iters.tolist()
+    qp_solved = (
+        res.qp_solved.tolist() if hasattr(res, "qp_solved") else None
+    )
+    capped = [i for i in qp_iters if i >= max_iter]
     print(
-        f"[bench] device={accel} M={M} iters={iters} t={t_accel:.4f}s "
-        f"l2_final={l2_final:.2e} qp_iters={res.qp_iters.tolist()}",
+        f"[bench] device={accel} M={M} iters={iters} backend={backend} "
+        f"eps={eps} t={t_accel:.4f}s l2_final={l2_final:.2e} "
+        f"qp_iters={qp_iters} capped={len(capped)}",
         file=sys.stderr,
     )
 
@@ -95,10 +190,15 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"drone_risk SCP solves/s (M={M}, {iters} iters, 1 chip)",
+                "metric": f"drone_risk SCP solves/s (M={M}, {iters} iters, "
+                          f"1 chip, {backend})",
                 "value": round(solves_per_s, 4),
                 "unit": "solves/s",
                 "vs_baseline": round(t_cpu / t_accel, 2),
+                "l2_final": l2_final,
+                "qp_iters": qp_iters,
+                "qp_solved": qp_solved,
+                "qp_capped": len(capped),
             }
         )
     )

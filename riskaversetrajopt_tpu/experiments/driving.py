@@ -135,6 +135,20 @@ def main(argv=None):
                   f"cost={float(mc_b['cost']):.4f}")
         except FileNotFoundError:
             pass
+        # Gaussian-baseline comparison in the same report
+        # (car/driving.py:719-740, with the run-this-first guidance of
+        # driving.py:724-728)
+        print("  Monte-Carlo: Gaussian baseline")
+        for alpha in args.alphas:
+            gfile = rdir / f"driving_gaussian_alpha={alpha}.npy"
+            if not gfile.is_file():
+                print(f"    {gfile} does not exist. "
+                      "run the driving_gaussian experiment first.")
+                continue
+            us_g, _ = common.load_traj(gfile)
+            mc_g = opt.monte_carlo(jnp.asarray(us_g), mc_om, alpha)
+            print(f"    alpha={alpha}: safe={float(mc_g['safe_frac']):.4f} "
+                  f"cost={float(mc_g['cost']):.4f}")
 
     if args.plot:
         plt = common.setup_matplotlib()
@@ -169,6 +183,21 @@ def main(argv=None):
             ax2.plot(its, np.median(ct_, axis=0)[idx, first:] * 1e3, "k--")
             ax2.set_ylabel("Total time (ms)")
             fig.savefig(fdir / "driving_times.png", dpi=150,
+                        bbox_inches="tight")
+
+            # cumulative time at the 10th SCP iteration vs alpha, as a bar
+            # chart (car/driving.py:849-868)
+            scp_iter = min(9, ct_.shape[2] - 1)
+            cum_med = np.median(ct_, axis=0)[:, scp_iter]
+            fig = plt.figure(figsize=(4, 3.2))
+            plt.grid(axis="y")
+            xs_pos = np.arange(len(alphas_l))
+            plt.bar(xs_pos, 1e3 * cum_med, 0.7, color="#0C7BDC")
+            plt.xlabel(r"Risk parameter $\alpha$")
+            plt.ylabel("Time (ms)")
+            plt.xticks(xs_pos, [str(a) for a in alphas_l])
+            plt.tight_layout()
+            fig.savefig(fdir / "driving_cum_time_vs_alpha.png", dpi=150,
                         bbox_inches="tight")
             print("  saved timing figures")
         except FileNotFoundError:

@@ -43,6 +43,7 @@ def main(argv=None):
     ap.add_argument("--mc-M", type=int, default=10000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--skip-mc", action="store_true")
+    ap.add_argument("--plot", action="store_true")
     ap.add_argument("--results", default="results")
     args = ap.parse_args(argv)
 
@@ -122,6 +123,81 @@ def main(argv=None):
             if alpha is not None:
                 msg += f" avar={float(avar(mx, alpha)):.5f}"
             print(msg)
+
+    if args.plot:
+        # trajectory-snapshot figure (hopper/hopper.py:790-893): center of
+        # mass (dashed) + end effector (solid) for the baseline in black and
+        # each alpha on a bwr colormap, leg-link segments at selected
+        # timesteps, ground fill, alpha colorbar
+        print("[hopper] >>> Plotting trajectories")
+        plt = common.setup_matplotlib()
+        import matplotlib.pylab as pl_cm
+
+        fdir = common.figures_dir()
+        entries = []
+        for a in args.alphas:
+            try:
+                with open(rdir / f"hopper_saa_alpha={a}_results.npy",
+                          "rb") as f:
+                    entries.append((a, np.load(f)))
+            except FileNotFoundError:
+                print(f"  results for alpha={a} missing "
+                      "(run the saa phase first)")
+        try:
+            with open(rdir / "hopper_base_results.npy", "rb") as f:
+                xs_base = np.load(f)
+        except FileNotFoundError:
+            xs_base = None
+        if entries or xs_base is not None:
+            ee_of = jax.vmap(model.end_effector_position)
+            colors = pl_cm.cm.bwr(np.linspace(0, 1, max(len(entries), 1)))
+            fig = plt.figure(figsize=[6, 3])
+            xmin, xmax, ymin, ymax = -0.1, 1.25, -0.1, 1.75
+            plt.plot([xmin, xmax], [0.0, 0.0], "r--")
+            plt.fill_between([xmin, xmax], [-1, -1], [0.0, 0.0],
+                             color="r", alpha=0.2)
+            ts_to_plot = [0, 6, 10, 12, 14, 16, 18, 20, 24,
+                          model.scn.S]
+
+            def draw(xs, color, with_links, lw=3, a_line=1.0):
+                com = xs[:, :2]
+                ee = np.asarray(ee_of(jnp.asarray(xs)))
+                plt.plot(com[:, 0], com[:, 1], c=color, ls="--",
+                         lw=lw, alpha=a_line)
+                plt.plot(ee[:, 0], ee[:, 1], c=color, ls="-",
+                         lw=lw, alpha=a_line)
+                if with_links:
+                    plt.scatter(com[ts_to_plot, 0], com[ts_to_plot, 1],
+                                c=[color], s=250, alpha=0.5)
+                    for t in ts_to_plot:
+                        plt.plot([com[t, 0], ee[t, 0]],
+                                 [com[t, 1], ee[t, 1]],
+                                 c=color, ls="-", lw=3, alpha=0.5)
+                    plt.scatter(ee[ts_to_plot, 0], ee[ts_to_plot, 1],
+                                c="#9d7200", s=50)
+
+            if xs_base is not None:
+                draw(xs_base, "k", with_links=True, lw=2, a_line=0.7)
+            for i, (a, xs_a) in enumerate(entries):
+                draw(xs_a, colors[i], with_links=(i == len(entries) - 1))
+            if entries:
+                sm = plt.cm.ScalarMappable(
+                    cmap=pl_cm.cm.bwr,
+                    norm=plt.Normalize(
+                        vmin=min(a for a, _ in entries),
+                        vmax=max(a for a, _ in entries),
+                    ),
+                )
+                cbar = plt.colorbar(sm, ax=plt.gca(),
+                                    ticks=[a for a, _ in entries])
+                cbar.set_label(r"$\alpha$", rotation="horizontal")
+            plt.xlabel("$p_x$")
+            plt.ylabel("$p_z$", rotation=0)
+            plt.xlim((xmin, xmax))
+            plt.ylim((ymin, ymax))
+            fig.savefig(fdir / "hopper_trajectories.png", dpi=150,
+                        bbox_inches="tight")
+            print("  saved", fdir / "hopper_trajectories.png")
 
 
 if __name__ == "__main__":

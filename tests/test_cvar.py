@@ -49,6 +49,18 @@ def test_avar_qp_matches_closed_form():
     )
 
 
+def test_avar_qp_reference_mc_size():
+    """The QP path must work at the reference's MC estimation size M=10000
+    (car/driving.py:621,639-671) — the structured arrow operator never
+    builds the dense (2M, M+1) matrix."""
+    rng = np.random.default_rng(7)
+    M, alpha = 10000, 0.05
+    Z = rng.standard_normal(M) * 0.3 - 0.1
+    np.testing.assert_allclose(
+        float(avar_qp(Z, alpha)), float(avar(jnp.asarray(Z), alpha)), atol=1e-4
+    )
+
+
 def test_avar_monotone_in_alpha():
     rng = np.random.default_rng(4)
     Z = jnp.asarray(rng.standard_normal(400))

@@ -14,9 +14,9 @@ def test_normal_quantile():
     from scipy.stats import norm
 
     for p in [0.5, 0.9, 0.95, 0.99]:
-        assert float(normal_quantile(p)) == np.testing.assert_allclose(
+        np.testing.assert_allclose(
             float(normal_quantile(p)), norm.ppf(p), rtol=1e-10
-        ) or True
+        )
 
 
 def test_covariance_propagation_linear_system():

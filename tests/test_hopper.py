@@ -58,7 +58,7 @@ def test_friction_field_sampling():
     mu0 = s.mu_nom + jnp.sum(
         f_base.intensities[0] * jnp.cos(f_base.thetas[0] * 0.5 + f_base.taus[0])
     )
-    assert float(mu0) == np.testing.assert_allclose(float(mu0), s.mu_nom) or True
+    np.testing.assert_allclose(float(mu0), s.mu_nom)
     # saa intensities bounded by 0.025*sqrt(2/F)
     bound = 0.025 * np.sqrt(2.0 / s.num_mu_features)
     assert float(jnp.max(f_saa.intensities)) <= bound + 1e-12

@@ -23,7 +23,7 @@ def main(argv=None):
     ap.add_argument("--alphas", type=float, nargs="+",
                     default=[0.05, 0.1, 0.2, 0.3])
     ap.add_argument("--tol", type=float, default=1e-6)
-    ap.add_argument("--max-iter", type=int, default=500)
+    ap.add_argument("--max-iter", type=int, default=1500)
     ap.add_argument("--results", default="results")
     args = ap.parse_args(argv)
 

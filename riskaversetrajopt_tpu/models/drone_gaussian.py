@@ -181,7 +181,12 @@ class GaussianDronePlanner:
     def solve(
         self, us_init: Optional[jnp.ndarray] = None, cfg: Optional[NLPConfig] = None
     ) -> GaussianDroneResult:
-        cfg = cfg or NLPConfig(tol=1e-6, max_iter=400)
+        # ~500 barrier iterations are required from the SAA warm start (the
+        # round-1 "dual plateau at 0.4" was an under-budgeted run: at
+        # max_iter=1000 the solve converges to prim 2e-11 / dual 3e-7);
+        # the reference runs IPOPT with max_iter 3000 (drone_gaussian.py:
+        # 500-502)
+        cfg = cfg or NLPConfig(tol=1e-6, max_iter=1500)
         g_L, g_U, n_eq, x_L, x_U = self.bounds()
         Z0 = self.initial_guess(us_init)
         res = solve_nlp(self.f, self.g, g_L, g_U, n_eq, x_L, x_U, Z0, cfg)

@@ -60,6 +60,13 @@ class SAAQPStatic(NamedTuple):
     gate_scale: float  # A-row scale during gated iterations
     gate_l: float  # gated lower bound (-inf for car, -0.1 for drone)
     gate_u: float  # gated upper bound
+    # Optional explicit-collective pinning of the sample axis: (Mesh,
+    # axis_name). When set, every (M, ...)-leading intermediate inside the
+    # operator carries a with_sharding_constraint over that axis, so the
+    # Schur-complement split (G/wG/C chip-local, only the (n+2)^2 block and
+    # scalar couplings all-reduced) is pinned rather than left to GSPMD's
+    # cost model. None = let GSPMD propagate (identical numerics).
+    sample_pin: object = None
 
 
 class SAAQPData(NamedTuple):
@@ -203,6 +210,11 @@ class SAAQPOps:
 
     def __init__(self, st: SAAQPStatic, data: SAAQPData, scp_iter, kkt_refine_iters=1):
         self.st = st
+        if st.sample_pin is not None:
+            data = data._replace(
+                G=self._pin_with(st.sample_pin, data.G),
+                g_up=self._pin_with(st.sample_pin, data.g_up),
+            )
         self.data = data
         self.dtype = data.G.dtype
         self.m = jnp.asarray(st.row_scale, self.dtype)
@@ -210,6 +222,20 @@ class SAAQPOps:
         self.p_diag, _ = build_objective(st, data)
         self.Malpha = st.M * data.alpha
         self.kkt_refine_iters = kkt_refine_iters
+
+    @staticmethod
+    def _pin_with(pin, x):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh, axis = pin
+        spec = PartitionSpec(*((axis,) + (None,) * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def _pin(self, x):
+        """Pin an (M, ...)-leading intermediate to the sample axis."""
+        if self.st.sample_pin is None:
+            return x
+        return self._pin_with(self.st.sample_pin, x)
 
     # -- pieces ------------------------------------------------------------
     def _split_z(self, z):
@@ -247,7 +273,9 @@ class SAAQPOps:
         r_c = sc.c * (jnp.sum(y) + s + self.Malpha * t)
         r_y = sc.y * (-y - s)
         # sample rows: m*(G_i u - gy*(y_i + t)) (gy=0 for baseline)
-        Gu = jnp.einsum("mkn,n->mk", self.data.G, u, precision=lax.Precision.HIGHEST)
+        Gu = self._pin(
+            jnp.einsum("mkn,n->mk", self.data.G, u, precision=lax.Precision.HIGHEST)
+        )
         r_G = sc.g * m * (Gu - sc.gy * (y[:, None] + t))
         r_s = sc.s * (-s)
         r_u = u
@@ -258,7 +286,7 @@ class SAAQPOps:
     def rmatvec_A(self, w):
         st, sc, m = self.st, self.scales, self.m
         w_f, w_c, w_y, w_G, w_s, w_u = self._split_w(w)
-        wG = sc.g * m * w_G  # (M, K) effective sample-row weights
+        wG = self._pin(sc.g * m * w_G)  # (M, K) effective sample-row weights
         u_part = (
             self.data.F.T @ w_f
             + jnp.einsum("mkn,mk->n", self.data.G, wG, precision=lax.Precision.HIGHEST)
@@ -341,7 +369,7 @@ class SAAQPOps:
         dtype = self.dtype
 
         g2 = (sc.g * m) ** 2  # effective squared sample-row scale
-        wG = g2 * rho_G  # (M, K)
+        wG = self._pin(g2 * rho_G)  # (M, K)
         rowsum_wG = jnp.sum(wG, axis=1)  # (M,)
 
         # --- y block ---
@@ -395,8 +423,10 @@ class SAAQPOps:
 
         # --- y-v coupling C (M, n+2): row i = [C_u_i | C_s_i | C_t_i] ---
         # y_i - u: -gy * G_i^T wG_i  (n,)
-        C_u = -sc.gy * jnp.einsum(
-            "mkn,mk->mn", data.G, wG, precision=lax.Precision.HIGHEST
+        C_u = self._pin(
+            -sc.gy * jnp.einsum(
+                "mkn,mk->mn", data.G, wG, precision=lax.Precision.HIGHEST
+            )
         )  # (M, n)
         # y_i - s: rho_y_i sc_y_i^2 (from the -y_i - s rows) + beta (CVaR row)
         C_s = (rho_y * sc.y**2 + beta)[:, None]  # (M, 1)

@@ -82,6 +82,11 @@ class SAATrajOpt:
         baseline_pad: float = 0.0,
         dtype=jnp.float64,
         pallas_interpret: bool = False,
+        # (Mesh, axis_name): pin every (M, ...)-leading operator
+        # intermediate to this sample axis with explicit sharding
+        # constraints instead of relying on GSPMD's cost model (see
+        # SAAQPStatic.sample_pin). Numerics are identical.
+        sample_pin=None,
     ):
         self.model = model
         self.method = method
@@ -129,6 +134,7 @@ class SAATrajOpt:
             gate_scale=scp_cfg.gate_row_scale,
             gate_l=scp_cfg.gate_bound_l,
             gate_u=scp_cfg.gate_bound_u,
+            sample_pin=sample_pin,
         )
 
     # -- sampling ----------------------------------------------------------

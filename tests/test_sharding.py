@@ -53,6 +53,34 @@ def test_sharded_scp_matches_single_device():
     )
 
 
+def test_pinned_sharded_scp_matches_unpinned():
+    """Explicit-collective fallback: with sample_pin set, every (M, ...)
+    operator intermediate carries a with_sharding_constraint over the
+    'samples' axis — the Schur split no longer depends on GSPMD's cost
+    model. Must be numerically identical to the unpinned path."""
+    model = DroneModel(DroneScenario())
+    scp_cfg = SCPConfig(
+        num_iters=6, gate_iters=2, gate_row_scale=1e-7,
+        gate_bound_l=-0.1, gate_bound_u=0.1,
+    )
+    mesh = make_mesh()
+    opt_pinned = SAATrajOpt(
+        model, method="saa", scp_cfg=scp_cfg,
+        sample_pin=(mesh, "samples"),
+    )
+    opt_plain = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg)
+    M = 16
+    omegas = opt_plain.sample(jax.random.PRNGKey(3), M=M)
+    om_sh = shard_samples(omegas, mesh)
+
+    res_pinned = opt_pinned.solve(om_sh, alpha=0.2)
+    res_plain = opt_plain.solve(omegas, alpha=0.2)
+    np.testing.assert_allclose(
+        np.asarray(res_pinned.us), np.asarray(res_plain.us),
+        rtol=1e-8, atol=1e-10,
+    )
+
+
 def test_batched_alpha_sweep_vmap():
     """The (alpha x repeat) sweep solved as one batched computation — the
     reference loops serially over 4 alphas x 30 repeats

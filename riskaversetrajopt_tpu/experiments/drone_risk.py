@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--mc-M", type=int, default=10000)
     ap.add_argument("--scp-iters", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--batch-chunk", type=int, default=8,
+                    help="repeats solved per batched launch; bounds the "
+                         "B x M device footprint (a B=8 x M=1000 fan-out "
+                         "in one launch faulted the round-1 device)")
     ap.add_argument("--skip-saa", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--skip-mc", action="store_true")
@@ -70,7 +74,15 @@ def main(argv=None):
                      in_axes=(None, 0))
         )
         alphas_arr = jnp.asarray(args.alphas, jnp.float64)
-        res = solve_batch(omegas_all, alphas_arr)
+        # chunk the repeat axis: bounds the live B x M x K x n Jacobian
+        # footprint per launch (one compile serves every chunk)
+        chunk = max(1, min(args.batch_chunk, args.repeats))
+        parts = []
+        for lo in range(0, args.repeats, chunk):
+            hi = min(lo + chunk, args.repeats)
+            om_part = jax.tree.map(lambda x: x[lo:hi], omegas_all)
+            parts.append(solve_batch(om_part, alphas_arr))
+        res = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *parts)
         # res.us: (n_alpha, repeats, S, n_u)
         for ia, alpha in enumerate(args.alphas):
             for r in range(args.repeats):

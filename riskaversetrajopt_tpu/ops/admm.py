@@ -410,8 +410,15 @@ def _polish(ops, q, l, u, x, y, z, cfg, eq_mask=None, active_masks=None):
         # duals are strictly interior so sign-based detection over-selects)
         lower_active, upper_active = active_masks
     else:
-        lower_active = y < -1e-12
-        upper_active = y > 1e-12
+        # dual sign (OSQP's rule) OR primal proximity to the bound. In f32
+        # the duals of weakly-active rows sit near roundoff (~1e-7) and a
+        # pure sign test under-selects; proximity rescues those rows, and
+        # over-selection is safe because polish is accept-only-if-better.
+        z_tol = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.maximum(
+            1.0, jnp.max(jnp.abs(z))
+        )
+        lower_active = (y < -1e-12) | (z - l < z_tol)
+        upper_active = (y > 1e-12) | (u - z < z_tol)
     if eq_mask is not None:
         # equality rows are always in the active set regardless of their
         # multiplier sign (l == u there so the bound choice is immaterial)

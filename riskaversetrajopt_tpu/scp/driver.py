@@ -168,14 +168,15 @@ class SAATrajOpt:
             return admm_solve()
         elif self.qp_backend == "admm-pallas":
             # Fused-kernel ADMM (ops/pallas/saa_admm.py): ~100x lower
-            # per-iteration latency than the XLA path on a real chip, but
-            # EXPERIMENTAL on the current axon toolchain — embedding the
-            # kernel in large jitted programs can fault the device (see the
-            # kernel STATUS note). Envelope: f32 and Mp <= 512 per device;
-            # falls back to the XLA path outside it.
+            # per-iteration latency than the XLA path on a real chip.
+            # Envelope: f32, Mp <= 1024 per device (round-2 probes: the
+            # round-1 faults at Mp=1024 / embedded-in-jit were the Mosaic
+            # 16MB default scoped-vmem budget; with the raised
+            # vmem_limit_bytes both standalone and embedded runs are clean
+            # at M=1000). Falls back to the XLA path outside the envelope.
             from riskaversetrajopt_tpu.ops.pallas import saa_admm as _pk
 
-            if self.dtype != jnp.float32 or _pk.kernel_dims(st).Mp > 512:
+            if self.dtype != jnp.float32 or _pk.kernel_dims(st).Mp > 1024:
                 return admm_solve()
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None

@@ -207,7 +207,25 @@ def test_car_golden_trajectory_parity_m50():
 
 @pytest.mark.slow
 def test_drone_golden_trajectory_parity_m1000():
-    """The BASELINE.md north star at M=1000."""
-    us, gold = _golden_vs_framework_drone(M=1000, num_iters=15)
-    err = ro.l2_error_us(us, gold)
+    """The BASELINE.md north star at M=1000: the framework solve against
+    the COMMITTED reference-semantics golden (regenerating the golden runs
+    the reference loop through the oracle for ~30 min — the transition QPs
+    need ~20k ADMM iterations each; see tools/make_goldens.py for
+    provenance and regeneration)."""
+    import pathlib
+
+    gold = np.load(
+        pathlib.Path(__file__).parent / "fixtures" /
+        "gold_drone_m1000_a0.2_seed0_iters15.npy"
+    )
+    M, alpha, num_iters = 1000, 0.2, 15
+    model = DroneModel(DroneScenario(M=M))
+    om = model.sample(jax.random.PRNGKey(0), M=M)
+    scp_cfg = SCPConfig(
+        num_iters=num_iters, gate_iters=2, gate_row_scale=1e-7,
+        gate_bound_l=-0.1, gate_bound_u=0.1,
+    )
+    opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg)
+    res = opt.solve(om, alpha=alpha)
+    err = ro.l2_error_us(np.asarray(res.us), gold)
     assert err <= 1e-3, f"relative L2 vs reference golden = {err:.3e}"

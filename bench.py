@@ -166,10 +166,28 @@ def main():
         return
 
     omegas = opt.sample(jax.random.PRNGKey(0), M=M)
+    # alpha=0.2 matches the committed reference golden fixture
+    # (tests/fixtures/gold_drone_m1000_a0.2_seed0_iters15.npy) so the bench
+    # can report the north-star trajectory error directly
+    alpha = 0.2
 
     accel = jax.devices()[0]
-    t_accel, res = time_solve(opt, omegas, 0.1, accel, repeats)
+    t_accel, res = time_solve(opt, omegas, alpha, accel, repeats)
     l2_final = float(res.l2_errors[-1])
+
+    l2_vs_golden = None
+    gold_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures",
+        f"gold_drone_m{M}_a{alpha}_seed0_iters{iters}.npy",
+    )
+    if os.path.exists(gold_path):
+        import numpy as np
+
+        gold = np.load(gold_path)
+        us = np.asarray(res.us)
+        l2_vs_golden = float(
+            np.linalg.norm(us - gold) / np.linalg.norm(gold)
+        )
     qp_iters = res.qp_iters.tolist()
     qp_solved = (
         res.qp_solved.tolist() if hasattr(res, "qp_solved") else None
@@ -178,12 +196,13 @@ def main():
     print(
         f"[bench] device={accel} M={M} iters={iters} backend={backend} "
         f"eps={eps} t={t_accel:.4f}s l2_final={l2_final:.2e} "
-        f"qp_iters={qp_iters} capped={len(capped)}",
+        f"l2_vs_golden={l2_vs_golden} qp_iters={qp_iters} "
+        f"capped={len(capped)}",
         file=sys.stderr,
     )
 
     cpu = jax.devices("cpu")[0]
-    t_cpu, _ = time_solve(opt, omegas, 0.1, cpu, 1)
+    t_cpu, _ = time_solve(opt, omegas, alpha, cpu, 1)
     print(f"[bench] cpu baseline t={t_cpu:.4f}s", file=sys.stderr)
 
     solves_per_s = 1.0 / t_accel
@@ -196,6 +215,7 @@ def main():
                 "unit": "solves/s",
                 "vs_baseline": round(t_cpu / t_accel, 2),
                 "l2_final": l2_final,
+                "l2_vs_golden": l2_vs_golden,
                 "qp_iters": qp_iters,
                 "qp_solved": qp_solved,
                 "qp_capped": len(capped),

@@ -403,47 +403,98 @@ def _polish(ops, q, l, u, x, y, z, cfg, eq_mask=None, active_masks=None):
     (OSQP behavior)."""
     dtype = q.dtype
     n = q.shape[0]
-    w_big = jnp.asarray(1e7, dtype)
-    sigma_p = jnp.full(n, 1e-9, dtype)
+    # Penalty weight is dtype-aware: the normal-equations system P + A^T W A
+    # squares the constraint conditioning, so in f32 W = 1e7 produces a
+    # factor with relative error >> 1 (observed: residuals ~1e7). A moderate
+    # W only biases the PRECONDITIONER here — accuracy comes from the exact
+    # KKT refinement below, whose residuals involve only O(1) magnitudes.
+    f32 = jnp.finfo(dtype).bits <= 32
+    w_big = jnp.asarray(1e4 if f32 else 1e7, dtype)
+    sigma_p = jnp.full(n, 1e-7 if f32 else 1e-9, dtype)
     if active_masks is not None:
         # caller-supplied active set (e.g. IPM's lambda > s detection — IPM
         # duals are strictly interior so sign-based detection over-selects)
         lower_active, upper_active = active_masks
     else:
-        # dual sign (OSQP's rule) OR primal proximity to the bound. In f32
-        # the duals of weakly-active rows sit near roundoff (~1e-7) and a
-        # pure sign test under-selects; proximity rescues those rows, and
-        # over-selection is safe because polish is accept-only-if-better.
-        z_tol = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.maximum(
-            1.0, jnp.max(jnp.abs(z))
+        # Dual sign (OSQP's rule) with a RELATIVE dtype-aware threshold.
+        # Inactive-row duals decay to ~eps-scale noise (the z-projection is
+        # the identity there so each ADMM step multiplies y by 0 up to
+        # roundoff) — in f32 that noise is ~1e-9 and an absolute 1e-12 bar
+        # sweeps merely-nearby rows into the active set, which (observed)
+        # poisons the forced-equality solve far beyond accept-and-reject
+        # recovery. eps^0.75 * ||y||_inf keeps the classic 1e-12 behavior in
+        # f64 and sits at ~4e-6 in f32: above projection noise, below any
+        # dual that meaningfully binds; rows misjudged either way are
+        # corrected by the wrong-sign drop pass below and the
+        # accept-only-if-better guard.
+        y_tol = jnp.finfo(dtype).eps ** 0.75 * jnp.maximum(
+            1.0, jnp.max(jnp.abs(y))
         )
-        lower_active = (y < -1e-12) | (z - l < z_tol)
-        upper_active = (y > 1e-12) | (u - z < z_tol)
+        lower_active = y < -y_tol
+        upper_active = y > y_tol
     if eq_mask is not None:
         # equality rows are always in the active set regardless of their
         # multiplier sign (l == u there so the bound choice is immaterial)
         lower_active = lower_active | eq_mask
-    active = lower_active | upper_active
-    b = jnp.where(lower_active, l, jnp.where(upper_active, u, 0.0))
-    b = jnp.where(jnp.isfinite(b), b, 0.0)
-    w = jnp.where(active, w_big, 0.0)
+    eq_like = lower_active & upper_active
 
-    factor = ops.factorize(w, sigma_p, 1.0)
-    rhs = -q + ops.rmatvec_A(w * b)
-    x_pol = ops.kkt_solve(factor, rhs, w, sigma_p, 1.0)
+    def solve_with(low, up):
+        """Equality-KKT solve on the active set {low | up}, penalty factor
+        as preconditioner + exact-residual refinement.
 
-    def refine(_, x_pol):
-        r = rhs - (
-            ops.matvec_P(x_pol)
-            + sigma_p * x_pol
-            + ops.rmatvec_A(w * ops.matvec_A(x_pol))
+        Refines the TRUE system
+          [P  A_act^T] [x]   [-q   ]
+          [A_act   0 ] [y] = [b_act]
+        — residuals are computed against the exact KKT (all O(1) magnitudes,
+        f32-safe, unlike the penalty normal equations whose residual carries
+        an O(W*eps) floor), and each step contracts by the preconditioner's
+        O(1/W + kappa*eps) relative error."""
+        active = low | up
+        b = jnp.where(low, l, jnp.where(up, u, 0.0))
+        b = jnp.where(jnp.isfinite(b), b, 0.0)
+        w = jnp.where(active, w_big, 0.0)
+        factor = ops.factorize(w, sigma_p, 1.0)
+        rhs = -q + ops.rmatvec_A(w * b)
+        x_pol = ops.kkt_solve(factor, rhs, w, sigma_p, 1.0)
+        y_pol = jnp.where(active, w * (ops.matvec_A(x_pol) - b), 0.0)
+
+        def refine(_, carry):
+            x_pol, y_pol = carry
+            r_x = -q - ops.matvec_P(x_pol) - ops.rmatvec_A(y_pol)
+            r_b = jnp.where(active, b - ops.matvec_A(x_pol), 0.0)
+            dx = ops.kkt_solve(
+                factor, r_x + ops.rmatvec_A(w * r_b), w, sigma_p, 1.0
+            )
+            dy = jnp.where(active, w * (ops.matvec_A(dx) - r_b), 0.0)
+            return x_pol + dx, y_pol + dy
+
+        return lax.fori_loop(
+            0, cfg.polish_refine_iters, refine, (x_pol, y_pol)
         )
-        return x_pol + ops.kkt_solve(factor, r, w, sigma_p, 1.0)
 
-    x_pol = lax.fori_loop(0, cfg.polish_refine_iters, refine, x_pol)
+    x_pol, y_pol = solve_with(lower_active, upper_active)
+
+    # Active-set correction pass: the proximity rescue above over-selects
+    # (a merely-nearby inactive row forced to its bound takes a wrong-sign
+    # multiplier — relaxing it would improve the objective). Drop those rows
+    # and re-solve once; equality rows are never dropped.
+    s_tol = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.maximum(
+        1.0, jnp.max(jnp.abs(y_pol))
+    )
+    droppable = ~eq_like if eq_mask is None else ~(eq_like | eq_mask)
+    wrong = droppable & (
+        (lower_active & ~upper_active & (y_pol > s_tol))
+        | (upper_active & ~lower_active & (y_pol < -s_tol))
+    )
+    lower_active = lower_active & ~wrong
+    upper_active = upper_active & ~wrong
+    x_pol, y_pol = lax.cond(
+        jnp.any(wrong),
+        lambda: solve_with(lower_active, upper_active),
+        lambda: (x_pol, y_pol),
+    )
 
     Ax = ops.matvec_A(x_pol)
-    y_pol = jnp.where(active, w * (Ax - b), 0.0)
     z_pol = jnp.clip(Ax, l, u)
 
     def resid(xx, yy, zz):

@@ -33,7 +33,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from riskaversetrajopt_tpu.ops.admm import QPSolution, _polish
+from riskaversetrajopt_tpu.ops.admm import (
+    QPSolution,
+    ScaledOps,
+    _polish,
+    ruiz_equilibrate,
+)
 
 
 class IPMConfig(NamedTuple):
@@ -59,11 +64,63 @@ def solve_qp_ipm(
     u,
     n_eq: int,
     cfg: IPMConfig = IPMConfig(),
+    scale: bool = True,
+    ruiz_iters: int = 5,
 ) -> QPSolution:
     """Interior-point solve. `ops` follows the ops/admm.py operator interface.
 
     The first `n_eq` rows of (l, u) must satisfy l == u (static count so the
-    equality Schur complement has a fixed shape under jit)."""
+    equality Schur complement has a fixed shape under jit).
+
+    With `scale` (default) the iteration runs on the Ruiz-equilibrated
+    problem — essential in f32: the raw SAA QP mixes MULTIPLIER-scaled rows,
+    1e-7-gated rows, and an O(M*alpha) CVaR coefficient, and the resulting
+    Newton systems lose their small pivots in f32 as M grows (observed: at
+    M=1000/f32 the unscaled solve stalls at merit ~1e-1 while the scaled one
+    converges; at f64 both converge). The returned solution, residuals, and
+    the `solved` flag are certified UNSCALED (OSQP termination semantics,
+    osqp/src/auxil.c residual scales)."""
+    if scale:
+        scaling = ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters)
+        sops = ScaledOps(ops, scaling)
+        qbar = scaling.c * scaling.D * q
+        lbar = scaling.E * l
+        ubar = scaling.E * u
+        sol = _solve_qp_ipm_raw(sops, qbar, lbar, ubar, n_eq, cfg)
+        x = scaling.D * sol.x
+        y = scaling.E * sol.y / scaling.c
+        Ax = ops.matvec_A(x)
+        z = jnp.clip(Ax, l, u)
+        # unscaled OSQP-style relative residual certification
+        Px = ops.matvec_P(x)
+        Aty = ops.rmatvec_A(y)
+        prim = jnp.max(jnp.abs(Ax - z))
+        dual = jnp.max(jnp.abs(Px + q + Aty))
+        p_sc = jnp.maximum(jnp.max(jnp.abs(Ax)), 1.0)
+        d_sc = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+            jnp.maximum(jnp.max(jnp.abs(q)), 1.0),
+        )
+        return QPSolution(
+            x=x,
+            y=y,
+            z=z,
+            iters=sol.iters,
+            prim_res=prim,
+            dual_res=dual,
+            solved=(prim <= cfg.tol * p_sc) & (dual <= cfg.tol * d_sc),
+        )
+    return _solve_qp_ipm_raw(ops, q, l, u, n_eq, cfg)
+
+
+def _solve_qp_ipm_raw(
+    ops,
+    q,
+    l,
+    u,
+    n_eq: int,
+    cfg: IPMConfig = IPMConfig(),
+) -> QPSolution:
     dtype = q.dtype
     n = q.shape[0]
     m = l.shape[0]

@@ -148,6 +148,42 @@ def replicate_global(pytree, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 
+def replicate_to_mesh(pytree, mesh: Mesh):
+    """Place host-local arrays fully replicated on a (possibly multi-process)
+    mesh. Every process must hold the identical full value."""
+    def put(leaf):
+        arr = np.asarray(leaf)
+        sh = NamedSharding(mesh, P())
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx]
+        )
+    return jax.tree.map(put, pytree)
+
+
+def selftest_problem(M: int = 16):
+    """Deterministic synthetic structured SAA QP shared by the 2-process
+    pod selftest and its single-process ground truth (numpy RNG — identical
+    on every process, no device dependence)."""
+    from riskaversetrajopt_tpu.ops.saa_qp import SAAQPData, SAAQPStatic
+
+    n, K, n_fc = 12, 6, 4
+    rng = np.random.default_rng(42)
+    st = SAAQPStatic(
+        n=n, M=M, K=K, n_fc=n_fc, n_x=3, row_scale=0.01,
+        slack_penalty=1e4, u_max=1.0, baseline=False, baseline_pad=0.0,
+        gate_iters=2, gate_scale=1e-7, gate_l=-0.1, gate_u=0.1,
+    )
+    data = SAAQPData(
+        F=rng.standard_normal((n_fc, n)) * 0.3,
+        f_rhs=rng.standard_normal(n_fc) * 0.1,
+        G=rng.standard_normal((M, K, n)),
+        g_up=rng.uniform(0.5, 1.5, (M, K)),
+        p_diag_u=rng.uniform(0.2, 1.0, n),
+        alpha=np.float64(0.2),
+    )
+    return st, data
+
+
 def _selftest(coordinator: str, num_processes: int, process_id: int) -> None:
     jax.config.update("jax_platforms", "cpu")
     try:
@@ -157,6 +193,54 @@ def _selftest(coordinator: str, num_processes: int, process_id: int) -> None:
     jax.config.update("jax_enable_x64", True)
     initialize(coordinator, num_processes, process_id)
 
+    import jax.numpy as jnp
+
+    if os.environ.get("RATO_DIST_FULL"):
+        _selftest_full_scp(process_id)
+        return
+
+    # Default: one structured SAA QP solve on the global mesh. This
+    # exercises everything the distributed layer owns — multi-process mesh
+    # construction, make_array_from_process_local_data assembly of the
+    # sample-sharded (M, K, n) stack, and the cross-process psum reductions
+    # inside the Schur-complement factorize — without paying the
+    # multi-minute XLA compile of the full SCP scan in every worker (the
+    # full path deadlined CI; run it manually with RATO_DIST_FULL=1).
+    from riskaversetrajopt_tpu.core.config import SolverConfig
+    from riskaversetrajopt_tpu.ops.saa_qp import solve_saa_qp
+
+    M = 16
+    st, data = selftest_problem(M)
+    sl = process_sample_slice(M)
+    mesh = global_mesh()
+    sharded = shard_samples_global(
+        {"G": data.G[sl], "g_up": data.g_up[sl]}, mesh, M
+    )
+    rep = replicate_to_mesh(
+        {"F": data.F, "f_rhs": data.f_rhs, "p": data.p_diag_u}, mesh
+    )
+    cfg = SolverConfig(eps_abs=1e-8, eps_rel=1e-8, max_iter=8000)
+
+    @jax.jit
+    def run(G, g_up, F, f_rhs, p):
+        d = data._replace(
+            G=G, g_up=g_up, F=F, f_rhs=f_rhs, p_diag_u=p,
+            alpha=jnp.asarray(0.2, jnp.float64),
+        )
+        return solve_saa_qp(st, d, jnp.asarray(3), cfg).x
+
+    x = run(sharded["G"], sharded["g_up"], rep["F"], rep["f_rhs"], rep["p"])
+    x = replicate_global(x, mesh)
+    print(
+        f"SELFTEST_OK pid={process_id} nproc={jax.process_count()} "
+        f"ndev={jax.device_count()} us_sum={float(np.sum(x)):.12e}",
+        flush=True,
+    )
+
+
+def _selftest_full_scp(process_id: int) -> None:
+    """Full SCP solve across the pod (slow: each worker compiles the whole
+    jitted SCP scan — ~15 min on CPU x64). Manual validation only."""
     import jax.numpy as jnp
 
     from riskaversetrajopt_tpu.core.config import DroneScenario, SCPConfig

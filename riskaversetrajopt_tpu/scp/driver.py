@@ -188,12 +188,23 @@ class SAATrajOpt:
             # The first post-gating subproblems involve a large active-set
             # shift (the linearized obstacle rows switch on all at once,
             # drone_risk.py:413-417) and take thousands of warm-startless ADMM
-            # iterations; Mehrotra handles them in ~20. The tail subproblems
-            # barely change between SCP iterations, where warm-started ADMM
-            # converges in ~25 iterations and its proximity to the previous
-            # iterate stabilizes the trust-region-free SCP recursion.
+            # iterations; Mehrotra gets into the solution's basin in ~20-40
+            # heavy MXU-friendly iterations. The handoff is WITHIN the QP:
+            # ADMM warm-started from the IPM point finishes to the certified
+            # unscaled tolerance (and keeps the prox-to-previous-iterate
+            # behavior that stabilizes the trust-region-free SCP recursion —
+            # returning raw IPM solutions to SCP makes the outer loop
+            # oscillate and was observed to diverge at M=1000/f32).
+            # The tail subproblems barely change between SCP iterations and
+            # warm-started ADMM alone converges in ~25 iterations.
+            def ipm_then_admm():
+                si = ipm_solve()
+                return solve_saa_qp(
+                    st, data, scp_iter, self.admm_cfg, x0=si.x, y0=si.y
+                )
+
             switch = self.scp_cfg.gate_iters + 3
-            return jax.lax.cond(scp_iter < switch, ipm_solve, admm_solve)
+            return jax.lax.cond(scp_iter < switch, ipm_then_admm, admm_solve)
         raise ValueError(f"unknown qp backend {self.qp_backend}")
 
     # -- full SCP solve ----------------------------------------------------

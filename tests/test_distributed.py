@@ -1,7 +1,9 @@
 """Multi-process distributed backend test (SURVEY.md section 4): a simulated
-2-host CPU pod (2 processes x 4 virtual devices, gloo collectives) runs the
-sample-sharded SCP solve end-to-end; both processes must agree with each
-other AND with the single-process 8-virtual-device solve in this process."""
+2-host CPU pod (2 processes x 4 virtual devices, gloo collectives) solves the
+sample-sharded structured SAA QP; both processes must agree with each other
+AND with the single-process solve in this process. (The full-SCP pod solve is
+available via RATO_DIST_FULL=1 on the selftest module — it compiles the whole
+SCP scan in every worker and is too slow for CI.)"""
 
 import os
 import re
@@ -10,12 +12,13 @@ import subprocess
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from riskaversetrajopt_tpu.core.config import DroneScenario, SCPConfig
-from riskaversetrajopt_tpu.models.drone import DroneModel
-from riskaversetrajopt_tpu.scp.driver import SAATrajOpt
+from riskaversetrajopt_tpu.core.config import SolverConfig
+from riskaversetrajopt_tpu.ops.saa_qp import solve_saa_qp
+from riskaversetrajopt_tpu.parallel.distributed import selftest_problem
 
 
 def _free_port():
@@ -64,18 +67,12 @@ def test_two_process_pod_matches_single_process(tmp_path):
         sums.append(float(m.group(2)))
     assert sums[0] == sums[1], "processes disagree on the sharded solution"
 
-    # single-process ground truth (8 virtual devices in this process)
-    model = DroneModel(DroneScenario())
-    opt = SAATrajOpt(
-        model,
-        method="saa",
-        scp_cfg=SCPConfig(
-            num_iters=6, gate_iters=2, gate_row_scale=1e-7,
-            gate_bound_l=-0.1, gate_bound_u=0.1,
-        ),
-    )
-    om = opt.sample(jax.random.PRNGKey(0), M=16)
-    res = opt.solve(om, alpha=0.2)
+    # single-process ground truth on the identical synthetic problem
+    st, data = selftest_problem(16)
+    data = jax.tree.map(jnp.asarray, data)
+    cfg = SolverConfig(eps_abs=1e-8, eps_rel=1e-8, max_iter=8000)
+    sol = solve_saa_qp(st, data, jnp.asarray(3), cfg)
+    assert bool(sol.solved)
     np.testing.assert_allclose(
-        sums[0], float(np.sum(np.asarray(res.us))), rtol=1e-8
+        sums[0], float(np.sum(np.asarray(sol.x))), rtol=1e-6
     )

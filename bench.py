@@ -64,7 +64,15 @@ def make(num_iters, backend, eps, max_iter):
             gate_bound_u=0.1,
         ),
         qp_backend=backend,
-        admm_cfg=SolverConfig(eps_abs=eps, eps_rel=eps, max_iter=max_iter),
+        # mirrors the SCP driver's default (scp/driver.py): eps 1e-6 is what
+        # the golden-trajectory tracking requires (l2_vs_golden ~1e-3-amplified
+        # per decade of QP tolerance), polish off inside the loop, no in-loop
+        # KKT refinement (2 G-sweeps/iter saved)
+        admm_cfg=SolverConfig(
+            eps_abs=eps, eps_rel=eps, max_iter=max_iter,
+            polish=bool(int(os.environ.get("BENCH_POLISH", "0"))),
+            kkt_refine_iters=int(os.environ.get("BENCH_KKT_REFINE", "0")),
+        ),
         dtype=jnp.float32,
     )
 
@@ -156,8 +164,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "15"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     backend = os.environ.get("BENCH_BACKEND", "admm")
-    eps = float(os.environ.get("BENCH_EPS", "1e-4"))
-    max_iter = int(os.environ.get("BENCH_MAX_ITER", "20000"))
+    eps = float(os.environ.get("BENCH_EPS", "1e-6"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "40000"))
 
     opt = make(iters, backend, eps, max_iter)
 

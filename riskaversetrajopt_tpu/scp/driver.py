@@ -78,6 +78,8 @@ class SAATrajOpt:
         qp_backend: str = "admm",
         ipm_cfg: Optional[IPMConfig] = None,
         admm_cfg: Optional[SolverConfig] = None,
+        # refinement knobs for the 'admm-ir' backend (ops/qp_refine.IRConfig)
+        ir_cfg=None,
         slack_penalty: Optional[float] = None,
         baseline_pad: float = 0.0,
         dtype=jnp.float64,
@@ -99,11 +101,31 @@ class SAATrajOpt:
         # QP tolerance with ~1000x amplification through the post-gating
         # transition iterations: eps 1e-5 left a 1.9e-2 trajectory error at
         # M=50 while 1e-6 achieves 2.2e-4 — inside the 1e-3 north star.
-        # The reference's OSQP runs at 1e-3 + polish; polish-on-termination
-        # is what actually delivered its accuracy.
+        # polish=False inside the SCP loop: the post-gating QPs have
+        # degenerate optimal faces, and an accepted polish snaps the iterate
+        # to an exact active-set vertex. Which QPs polish succeeds on is a
+        # solver-specific accident (the reference's OSQP accepts on a
+        # different subset than any reimplementation can reproduce), so
+        # polishing inside the loop *perturbs* golden-trajectory tracking
+        # instead of helping it: at M=50/eps=1e-6, polish=False tracks the
+        # tightened reference golden at 2.2e-4 while polish=True lands at
+        # 1.6e-3. The eps=1e-6 termination already exceeds the accuracy the
+        # reference gets from OSQP_TOL=1e-3 + polish. Standalone QP solves
+        # keep SolverConfig's polish=True default (OSQP parity).
+        # kkt_refine_iters=0: each in-loop refinement pass costs 2 extra
+        # G-sweeps (the ADMM iteration's HBM bound); measured at M=1000 on
+        # TPU f32 the un-refined iteration is 44.5us vs 68.4us *and*
+        # converges in slightly fewer iterations (ADMM self-corrects
+        # stationary KKT-solve error at moderate penalty weights).
         self.admm_cfg = admm_cfg or SolverConfig(
-            eps_abs=1e-6, eps_rel=1e-6, max_iter=20000
+            eps_abs=1e-6, eps_rel=1e-6, max_iter=20000,
+            polish=False, kkt_refine_iters=0,
         )
+        if ir_cfg is None:
+            from riskaversetrajopt_tpu.ops.qp_refine import IRConfig
+
+            ir_cfg = IRConfig()
+        self.ir_cfg = ir_cfg
         self.dtype = dtype
         self.pallas_interpret = pallas_interpret
         scn = model.scn
@@ -166,6 +188,21 @@ class SAATrajOpt:
             return ipm_solve()
         elif self.qp_backend == "admm":
             return admm_solve()
+        elif self.qp_backend == "admm-ir":
+            # f32-native tight tolerances: plain f32 ADMM stalls near
+            # unscaled residuals ~1e-5 at M=1000 (measured on TPU: 13/15
+            # QPs cap at eps 1e-6), while golden tracking needs 1e-6.
+            # QP-level iterative refinement (ops/qp_refine.py) runs the
+            # f32 ADMM at its reliable working tolerance and contracts the
+            # compensated true residuals by ~1/Delta per correction round.
+            from riskaversetrajopt_tpu.ops.qp_refine import solve_saa_qp_ir
+
+            x0 = warm[0] if warm is not None else None
+            y0 = warm[1] if warm is not None else None
+            return solve_saa_qp_ir(
+                st, data, scp_iter, self.admm_cfg, ir=self.ir_cfg,
+                x0=x0, y0=y0,
+            )
         elif self.qp_backend == "admm-pallas":
             # Fused-kernel ADMM (ops/pallas/saa_admm.py): ~100x lower
             # per-iteration latency than the XLA path on a real chip.

@@ -69,9 +69,11 @@ def make(num_iters, backend, eps, max_iter):
         # per decade of QP tolerance), polish off inside the loop, no in-loop
         # KKT refinement (2 G-sweeps/iter saved)
         admm_cfg=SolverConfig(
-            eps_abs=eps, eps_rel=eps, max_iter=max_iter,
-            polish=bool(int(os.environ.get("BENCH_POLISH", "0"))),
-            kkt_refine_iters=int(os.environ.get("BENCH_KKT_REFINE", "0")),
+            eps_abs=eps,
+            eps_rel=float(os.environ.get("BENCH_EPS_REL", eps)),
+            max_iter=max_iter,
+            polish=bool(int(os.environ.get("BENCH_POLISH", "1"))),
+            kkt_refine_iters=int(os.environ.get("BENCH_KKT_REFINE", "1")),
         ),
         dtype=jnp.float32,
     )

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -352,9 +353,31 @@ def solve_saa_qp_ir(
             done, skip, do_round, x_h, x_l, y, res, iters
         )
 
-    solved = (res.prim <= res.eps_prim) & (res.dual <= res.eps_dual)
     x = ds.ds_round(x_h, x_l)
     z = jnp.clip(ds.ds_round(*_ds_matvec_A(ops, x_h, x_l)), l, u)
+
+    if cfg.polish:
+        # Deterministic active-set vertex selection on top of the certified
+        # point. On the degenerate post-gating QPs the certified-residual
+        # solution SET still has macroscopic diameter; snapping to the
+        # active-set vertex makes the selection a deterministic function of
+        # the (now tightly resolved) active set, which stabilizes the SCP
+        # fixed-point iteration against f32 linearization noise. The
+        # polished point is accepted only if its COMPENSATED residuals
+        # still certify at the target tolerance — honesty is preserved.
+        xp, yp, zp = admm._polish(ops, q, l, u, x, y, z, cfg)
+        resp = _residuals(
+            ops, q, l, u, p_diag, xp, jnp.zeros_like(xp), yp, cfg
+        )
+        ok = (resp.prim <= resp.eps_prim) & (resp.dual <= resp.eps_dual)
+        x = jnp.where(ok, xp, x)
+        y = jnp.where(ok, yp, y)
+        z = jnp.where(ok, zp, z)
+        res = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), resp, res
+        )
+
+    solved = (res.prim <= res.eps_prim) & (res.dual <= res.eps_dual)
     return admm.QPSolution(
         x=x, y=y, z=z, iters=iters, prim_res=res.prim, dual_res=res.dual,
         solved=solved,

@@ -112,14 +112,17 @@ class SAATrajOpt:
         # 1.6e-3. The eps=1e-6 termination already exceeds the accuracy the
         # reference gets from OSQP_TOL=1e-3 + polish. Standalone QP solves
         # keep SolverConfig's polish=True default (OSQP parity).
-        # kkt_refine_iters=0: each in-loop refinement pass costs 2 extra
-        # G-sweeps (the ADMM iteration's HBM bound); measured at M=1000 on
-        # TPU f32 the un-refined iteration is 44.5us vs 68.4us *and*
-        # converges in slightly fewer iterations (ADMM self-corrects
-        # stationary KKT-solve error at moderate penalty weights).
+        # kkt_refine_iters=1: each in-loop refinement pass costs 2 extra
+        # G-sweeps (the ADMM iteration is HBM-bound: 68.4us vs 44.5us/iter
+        # at M=1000 TPU f32), but END-TO-END it wins decisively — the
+        # refined KKT solves make consecutive warm-started solutions
+        # consistent, so the whole SCP needs ~4x fewer ADMM iterations
+        # (measured M=1000 TPU f32, eps 1e-4 + polish: 5725 total iters /
+        # 1.42s / l2_final 5.7e-3 with refine=1 vs 22450 / 2.9s / 1.4e-1
+        # with refine=0).
         self.admm_cfg = admm_cfg or SolverConfig(
             eps_abs=1e-6, eps_rel=1e-6, max_iter=20000,
-            polish=False, kkt_refine_iters=0,
+            polish=False, kkt_refine_iters=1,
         )
         if ir_cfg is None:
             from riskaversetrajopt_tpu.ops.qp_refine import IRConfig

@@ -68,9 +68,19 @@ class IRConfig(NamedTuple):
     the target."""
 
     rounds: int = 4
-    #: tolerance of the base and correction ADMM solves (the reliable f32
-    #: working tolerance; the TARGET tolerance is SolverConfig.eps_abs/rel)
+    #: tolerance of the correction ADMM solves (the reliable f32 working
+    #: tolerance; the TARGET tolerance is SolverConfig.eps_abs/rel)
     work_eps: float = 3e-4
+    #: base-solve tolerances; None = work_eps. Setting these to the TARGET
+    #: tolerances (with base_max_iter bounding the f32 stall) keeps the
+    #: base on the warm-started-ADMM path that selects the reference's
+    #: solution branch — the corrections then only certify the tail,
+    #: instead of navigating the degenerate face themselves (which lands
+    #: on a different, typically far more conservative branch: measured
+    #: M=1000 cost 1.7-4.6 vs the golden's 0.476).
+    base_eps_abs: float = None
+    base_eps_rel: float = None
+    base_max_iter: int = None
     #: residual->Delta headroom: Delta ~= 2^round(log2(margin/res))
     margin: float = 0.1
     delta_max: float = 1e10
@@ -311,7 +321,16 @@ def solve_saa_qp_ir(
     work_cfg = dataclasses.replace(
         cfg, eps_abs=ir.work_eps, eps_rel=ir.work_eps, polish=False
     )
-    base = admm.admm_solve(ops, q, l, u, work_cfg, x0=x0, y0=y0,
+    base_cfg = dataclasses.replace(
+        cfg,
+        eps_abs=ir.base_eps_abs if ir.base_eps_abs is not None else ir.work_eps,
+        eps_rel=ir.base_eps_rel if ir.base_eps_rel is not None else ir.work_eps,
+        max_iter=(
+            ir.base_max_iter if ir.base_max_iter is not None else cfg.max_iter
+        ),
+        polish=False,
+    )
+    base = admm.admm_solve(ops, q, l, u, base_cfg, x0=x0, y0=y0,
                            scaling=scaling)
     x_h, x_l = base.x, jnp.zeros_like(base.x)
     y = base.y

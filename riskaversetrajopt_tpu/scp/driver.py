@@ -80,6 +80,9 @@ class SAATrajOpt:
         admm_cfg: Optional[SolverConfig] = None,
         # refinement knobs for the 'admm-ir' backend (ops/qp_refine.IRConfig)
         ir_cfg=None,
+        # 'hybrid-prox' backend knobs
+        hybrid_cap: int = 3000,
+        hybrid_prox: float = 1e-3,
         slack_penalty: Optional[float] = None,
         baseline_pad: float = 0.0,
         dtype=jnp.float64,
@@ -129,6 +132,10 @@ class SAATrajOpt:
 
             ir_cfg = IRConfig()
         self.ir_cfg = ir_cfg
+        # 'hybrid-prox' backend knobs: per-leg ADMM iteration bound and the
+        # proximal weight of the branch-preserving rescue IPM
+        self.hybrid_cap = hybrid_cap
+        self.hybrid_prox = hybrid_prox
         self.dtype = dtype
         self.pallas_interpret = pallas_interpret
         scn = model.scn
@@ -224,6 +231,60 @@ class SAATrajOpt:
                 st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
                 interpret=self.pallas_interpret,
             )
+        elif self.qp_backend == "hybrid-prox":
+            # Golden-branch rescue for the post-gating transition QPs.
+            # Warm-started ADMM follows the reference's OSQP solution branch
+            # but needs >20k f32 iterations to push the dual residual
+            # through 1e-2 on the transition QPs (the reference's own
+            # x64 engine needs ~22k there). Instead: a bounded ADMM leg
+            # keeps the warm path; if it does not certify, a PROXIMAL
+            # interior-point solve (P + sigma I, q - sigma*x_admm) centered
+            # at the ADMM iterate computes (approximately) the projection
+            # of that iterate onto the optimal face in ~30 MXU-heavy
+            # iterations — preserving the branch that plain IPM loses on
+            # degenerate faces — and a short warm ADMM leg certifies the
+            # result at the target tolerance.
+            # STATUS: validated at small M (tests); at M=1000/f32 the
+            # prox-IPM itself fails to land near the warm iterate's face
+            # (measured: 2/15 certified, MC cost 22 vs 0.48) — use the
+            # 'admm-ir' base-at-target + refinement-rescue configuration
+            # there (bench.py parity mode).
+            import dataclasses
+
+            from riskaversetrajopt_tpu.ops.qp_refine import _ProxOps
+
+            quick_cfg = dataclasses.replace(
+                self.admm_cfg, max_iter=self.hybrid_cap, polish=False
+            )
+            fin_cfg = dataclasses.replace(
+                self.admm_cfg, max_iter=self.hybrid_cap
+            )
+            x0 = warm[0] if warm is not None else None
+            y0 = warm[1] if warm is not None else None
+            s1 = solve_saa_qp(st, data, scp_iter, quick_cfg, x0=x0, y0=y0)
+
+            def rescue():
+                ops = SAAQPOps(
+                    st, data, scp_iter,
+                    kkt_refine_iters=self.admm_cfg.kkt_refine_iters,
+                )
+                _, q = build_objective(st, data)
+                l, u = build_bounds(st, data, scp_iter)
+                sig = jnp.asarray(self.hybrid_prox, self.dtype)
+                si = solve_qp_ipm(
+                    _ProxOps(ops, sig), q - sig * s1.x, l, u,
+                    n_eq=st.n_fc, cfg=self.ipm_cfg,
+                )
+                s2 = solve_saa_qp(
+                    st, data, scp_iter, fin_cfg, x0=si.x, y0=si.y
+                )
+                return s2._replace(iters=s1.iters + si.iters + s2.iters)
+
+            def keep():
+                # re-apply polish semantics to the certified quick leg
+                return s1
+
+            return jax.lax.cond(s1.solved, keep, rescue)
         elif self.qp_backend == "hybrid":
             # The first post-gating subproblems involve a large active-set
             # shift (the linearized obstacle rows switch on all at once,

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from riskaversetrajopt_tpu.core.config import CarScenario
+from riskaversetrajopt_tpu.models.base import ConstBind
 
 
 class CarOmega(NamedTuple):
@@ -25,8 +26,11 @@ class CarOmega(NamedTuple):
     dWs: jnp.ndarray  # (S, n_x) or (M, S, n_x) -- already scaled by sqrt(dt)
 
 
-class CarModel:
+class CarModel(ConstBind):
     """SAA car model. Reference: car/driving.py Model (lines 83-236)."""
+
+    # see models/base.ConstBind: these must cross jit boundaries as args
+    const_attrs = ("_state_init", "_goal")
 
     def __init__(self, scn: CarScenario = CarScenario()):
         self.scn = scn

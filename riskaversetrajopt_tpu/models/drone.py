@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from riskaversetrajopt_tpu.core.config import DroneScenario
+from riskaversetrajopt_tpu.models.base import ConstBind
 
 
 class DroneOmega(NamedTuple):
@@ -24,8 +25,13 @@ class DroneOmega(NamedTuple):
     dWs: jnp.ndarray  # (S, n_x) or (M, S, n_x) -- already scaled by sqrt(dt)
 
 
-class DroneModel:
+class DroneModel(ConstBind):
     """SAA drone model. Reference: drone/drone_risk.py Model (lines 70-213)."""
+
+    # array constants that must cross jit boundaries as arguments (see
+    # models/base.ConstBind: constant-rooted arrays inside the rollout scan
+    # cost ~1.4 ms/step on the target TPU runtime)
+    const_attrs = ("_fb_gain", "_obs_positions", "_x_init", "_x_final")
 
     def __init__(self, scn: DroneScenario = DroneScenario()):
         self.scn = scn

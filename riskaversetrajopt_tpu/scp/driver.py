@@ -177,10 +177,17 @@ class SAATrajOpt:
     def _static_for(self, M: int) -> SAAQPStatic:
         return self.static._replace(M=M)
 
-    def _define(self, us_prev, omegas, alpha, M):
+    def _define(self, us_prev, omegas, alpha, M, model=None, p_diag_u=None):
+        # `model`/`p_diag_u` are the ARGUMENT-ROOTED variants passed through
+        # the jit boundary by solve()/solve_instrumented() (models/base
+        # ConstBind: closure-baked array constants inside the rollout scan
+        # cost ~1.4 ms per scan step on the target TPU runtime — the
+        # 20-step define phase measured 29 ms baked vs ~1 ms arg-rooted).
+        model = self.model if model is None else model
+        p_diag_u = self.p_diag_u if p_diag_u is None else p_diag_u
         us_prev_vec = us_prev.reshape(-1)
-        lin = linearize_batch(self.model, us_prev, omegas)
-        return pack_saa_qp_data(lin, us_prev_vec, self.p_diag_u, alpha)
+        lin = linearize_batch(model, us_prev, omegas)
+        return pack_saa_qp_data(lin, us_prev_vec, p_diag_u, alpha)
 
     def _solve_qp(self, st, data, scp_iter, warm=None):
         def ipm_solve():
@@ -309,16 +316,27 @@ class SAATrajOpt:
         raise ValueError(f"unknown qp backend {self.qp_backend}")
 
     # -- full SCP solve ----------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 3))
     def solve(self, omegas, alpha, M: Optional[int] = None) -> SCPResult:
         """Run the full SCP loop (fixed iteration count, reference semantics:
         convergence is monitored but not used for termination,
-        car/driving.py:500-513)."""
+        car/driving.py:500-513).
+
+        Thin wrapper gathering the model's array constants into jit
+        ARGUMENTS (models/base.ConstBind) — vmap/jit-compatible."""
         if M is None:
             M = jax.tree.leaves(omegas)[0].shape[0]
+        consts = {"model": self.model.consts(), "p_diag_u": self.p_diag_u}
+        return self._solve_jit(omegas, alpha, consts, M)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _solve_jit(self, omegas, alpha, consts, M: int) -> SCPResult:
         omegas = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), omegas)
         st = self._static_for(M)
-        model = self.model
+        model = self.model.bind(
+            jax.tree.map(lambda a: jnp.asarray(a, self.dtype),
+                         consts["model"])
+        )
+        p_diag_u = jnp.asarray(consts["p_diag_u"], self.dtype)
         n = st.n
         us0 = model.initial_guess().astype(self.dtype)
         nv = n + M + 2
@@ -326,7 +344,9 @@ class SAATrajOpt:
 
         def step(carry, scp_iter):
             us_prev, warm = carry
-            data = self._define(us_prev, omegas, alpha, M)
+            data = self._define(
+                us_prev, omegas, alpha, M, model=model, p_diag_u=p_diag_u
+            )
             sol = self._solve_qp(st, data, scp_iter, warm)
             us = sol.x[:n].reshape(model.S, model.n_u)
             l2 = l2_error_us(us, us_prev)
@@ -375,8 +395,16 @@ class SAATrajOpt:
         model = self.model
         n = st.n
 
+        # model constants as jit arguments (models/base.ConstBind)
+        mconsts = self.model.consts()
         define_fn = jax.jit(
-            lambda us_prev, om, a: self._define(us_prev, om, a, M)
+            lambda us_prev, om, a, mc, pdu: self._define(
+                us_prev, om, a, M, model=self.model.bind(mc), p_diag_u=pdu
+            )
+        )
+        _define_fn = define_fn
+        define_fn = lambda us_prev, om, a: _define_fn(  # noqa: E731
+            us_prev, om, a, mconsts, self.p_diag_u
         )
         solve_fn = jax.jit(
             lambda data, it, warm: self._solve_qp(st, data, it, warm)

@@ -68,6 +68,15 @@ class SolverConfig:
     polish_refine_iters: int = 3
     # Iterative-refinement steps applied to KKT solves (helps f32 on TPU).
     kkt_refine_iters: int = 1
+    # Refine the KKT solve only every P-th ADMM iteration (1 = every
+    # iteration). Each refinement pass costs 2 extra G-sweeps — the
+    # HBM-bound core of the structured iteration. MEASURED (M=1000 TPU
+    # f32, eps 1e-4 + polish): period=4 is a false economy — alternating
+    # between the refined and unrefined fixed-point maps makes the
+    # iterate wander (17075 total ADMM iterations vs 5725 at period=1,
+    # SCP l2_final 9.3e-2 vs 5.7e-3). Kept for experimentation; leave at
+    # 1 for production.
+    kkt_refine_period: int = 1
     scaled_termination: bool = False
 
 

@@ -223,10 +223,34 @@ def admm_solve(
 
     factor0 = sops.factorize(rho_vector(ls, us, rho0), sigma_vec)
 
-    def one_iter(x, z, y, rho, factor):
+    # Periodic KKT refinement: each refinement pass inside kkt_solve costs
+    # 2 extra G-sweeps (the HBM-bound core of the structured iteration), so
+    # cfg.kkt_refine_period > 1 runs the refined solve only on every P-th
+    # inner iteration and the cheap unrefined solve otherwise.
+    period = int(getattr(cfg, "kkt_refine_period", 1))
+    two_path = (
+        period > 1
+        and cfg.kkt_refine_iters > 0
+        and hasattr(ops, "kkt_refine_iters")
+    )
+    if two_path:
+        import copy as _copy
+
+        _inner0 = _copy.copy(ops)
+        _inner0.kkt_refine_iters = 0
+        sops0 = _inner0 if scaling is None else ScaledOps(_inner0, scaling)
+
+    def one_iter(x, z, y, rho, factor, refine_now=None):
         rv = rho_vector(ls, us, rho)
         rhs = sigma_vec * x - qs + sops.rmatvec_A(rv * z - y)
-        xt = sops.kkt_solve(factor, rhs, rv, sigma_vec)
+        if refine_now is None:
+            xt = sops.kkt_solve(factor, rhs, rv, sigma_vec)
+        else:
+            xt = lax.cond(
+                refine_now,
+                lambda: sops.kkt_solve(factor, rhs, rv, sigma_vec),
+                lambda: sops0.kkt_solve(factor, rhs, rv, sigma_vec),
+            )
         zt = sops.matvec_A(xt)
         x_next = alpha * xt + (1 - alpha) * x
         z_relax = alpha * zt + (1 - alpha) * z
@@ -312,9 +336,10 @@ def admm_solve(
         return prim_inf, dual_inf
 
     def body(s: _State):
-        def inner(_, xzy):
+        def inner(j, xzy):
             x, z, y = xzy
-            return one_iter(x, z, y, s.rho, s.factor)
+            refine_now = ((s.it + j) % period == 0) if two_path else None
+            return one_iter(x, z, y, s.rho, s.factor, refine_now)
 
         x, z, y = lax.fori_loop(0, cfg.check_every, inner, (s.x, s.z, s.y))
         prim, dual, eps_prim, eps_dual, ratio = residuals(x, z, y)

@@ -586,6 +586,7 @@ def admm_chunk_pallas(
     p: ScaledSAA, state: ScaledState, d: KernelDims, chunk: int,
     interpret: bool = False,
     vmem_limit_bytes: int = 100 * 1024 * 1024,
+    resident: bool = None,
 ) -> ScaledState:
     """Run `chunk` scaled ADMM iterations in one pallas_call.
 
@@ -593,13 +594,23 @@ def admm_chunk_pallas(
     - sample-row state (z_G, yd_G) lives in VMEM scratch REFS; every access
       is tile-local (`pl.ds` row blocks) — full-array reads of scratch that
       is rewritten across loop iterations miscompiled (stale/garbage reads);
-    - Gs streams from HBM with even/odd static-slot double buffering
-      (dynamic slot indices also miscompiled);
+    - when the padded Jacobian stack fits the VMEM budget (drone M=1000:
+      33.5 MB vs the 100 MB limit), Gs is DMA'd into a VMEM scratch ONCE
+      per chunk and every iteration reads it from VMEM (`resident` mode) —
+      the iteration becomes compute-bound instead of paying 2 full HBM
+      sweeps (~67 MB) per iteration;
+    - otherwise Gs streams from HBM with even/odd static-slot double
+      buffering (dynamic slot indices miscompiled);
     - the A^T sweep, the per-sample reductions, and the row updates are all
-      fused into the two tile loops, so each iteration reads Gs twice and
-      touches nothing else outside VMEM.
+      fused into the tile loops.
     """
     NT, TM, Kp, Np = p.Gs.shape
+    if resident is None:
+        # STATUS: resident mode measured SLOWER at M=1000 (370us/iter vs
+        # 316us streaming) — the iteration is codegen-bound on the batched
+        # per-tile dot_general (see the c1 NOTE), so removing the HBM
+        # streaming does not pay. Kept opt-in for future toolchains.
+        resident = False
     assert NT % 2 == 0, "even/odd double buffering requires an even tile count"
     n_state = len(state)
     params = list(p)[1:]  # all fields except Gs
@@ -641,26 +652,39 @@ def admm_chunk_pallas(
                 gs_ref.at[t], gtile.at[slot], sem.at[slot]
             )
 
-        def double_buffered(compute, init):
-            """Loop tiles in even/odd pairs with static DMA slots.
-            compute(t, g, carry) -> carry."""
-            tile_dma(0, 0).start()
+        if resident:
+            # load the whole Jacobian stack into VMEM once per chunk; tile
+            # reads inside the sweeps are then static VMEM indexing
+            cp = pltpu.make_async_copy(gs_ref, gtile, sem.at[0])
+            cp.start()
+            cp.wait()
 
-            def body(tp, carry):
-                t0 = 2 * tp
-                t1 = t0 + 1
-                tile_dma(1, t1).start()
-                tile_dma(0, t0).wait()
-                carry = compute(t0, gtile[0], carry)
+            def double_buffered(compute, init):
+                carry = init
+                for t in range(NT):  # static unroll: all-static indexing
+                    carry = compute(t, gtile[t], carry)
+                return carry
+        else:
+            def double_buffered(compute, init):
+                """Loop tiles in even/odd pairs with static DMA slots.
+                compute(t, g, carry) -> carry."""
+                tile_dma(0, 0).start()
 
-                @pl.when(t0 + 2 < NT)
-                def _():
-                    tile_dma(0, t0 + 2).start()
+                def body(tp, carry):
+                    t0 = 2 * tp
+                    t1 = t0 + 1
+                    tile_dma(1, t1).start()
+                    tile_dma(0, t0).wait()
+                    carry = compute(t0, gtile[0], carry)
 
-                tile_dma(1, t1).wait()
-                return compute(t1, gtile[1], carry)
+                    @pl.when(t0 + 2 < NT)
+                    def _():
+                        tile_dma(0, t0 + 2).start()
 
-            return jax.lax.fori_loop(0, NT // 2, body, init)
+                    tile_dma(1, t1).wait()
+                    return compute(t1, gtile[1], carry)
+
+                return jax.lax.fori_loop(0, NT // 2, body, init)
 
         def rows(t):
             return pl.ds(t * TM, TM)
@@ -676,6 +700,16 @@ def admm_chunk_pallas(
                 u_part, eGtw = acc
                 r = rows(t)
                 w_blk = rvG_ref[r, :] * zG_scr[r, :] - ydG_scr[r, :]
+                # NOTE the batched (TM, 1, Kp) @ (TM, Kp, Np) contraction is
+                # the ONLY form this Mosaic toolchain accepts AND compiles:
+                # a (1,2)x(0,1) double-contraction dot_general is rejected
+                # ("lhs contracting dims must be of size 1"), and every
+                # reshape-to-2D variant ((8, TM*Kp) @ (TM*Kp, Np),
+                # transposed-lhs, and the 3D multiply+double-reduce) crashes
+                # the remote tpu_compile_helper outright. Measured ~165us
+                # per (64, 64, 128) tile call — the kernel is codegen-bound
+                # here, not DMA-bound (VMEM-resident Gs at M=1000 runs
+                # 370us/iter vs 316us streaming).
                 prod = jax.lax.dot_general(
                     w_blk[:, None, :], g,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -763,7 +797,10 @@ def admm_chunk_pallas(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((d.Mp, 8), jnp.float32),
-            pltpu.VMEM((2, TM, Kp, Np), jnp.float32),
+            pltpu.VMEM(
+                (NT, TM, Kp, Np) if resident else (2, TM, Kp, Np),
+                jnp.float32,
+            ),
             pltpu.VMEM((d.Mp, d.Kp), jnp.float32),
             pltpu.VMEM((d.Mp, d.Kp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -114,6 +114,25 @@ def test_kernel_interpret_matches_reference():
         )
 
 
+def test_kernel_interpret_resident_matches_streaming():
+    """The VMEM-resident Gs variant computes identically to streaming
+    (same math, different G access pattern)."""
+    st, data32, ops, q, l, u, scaling, rho, p, d = setup()
+    chunk = 3
+    state0 = pk.init_scaled_state(p, d)
+    s_stream = pk.admm_chunk_pallas(
+        p, state0, d, chunk, interpret=True, resident=False
+    )
+    s_res = pk.admm_chunk_pallas(
+        p, state0, d, chunk, interpret=True, resident=True
+    )
+    for a, b, name in zip(s_res, s_stream, s_stream._fields):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+            err_msg=f"field {name}",
+        )
+
+
 def test_pallas_solver_backend_matches_xla(monkeypatch):
     """solve_saa_qp_pallas (interpret mode) reaches the same solution as the
     XLA structured ADMM at the same tolerance, and the driver backend

@@ -90,20 +90,52 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
     )
 
 
-def time_solve(opt, omegas, alpha, device, repeats):
+def _perturb(omegas, eps=None):
+    """Tiny multiplicative input perturbation with a CRYPTOGRAPHICALLY
+    RANDOM factor (~1e-7 relative): the accelerator runtime result-caches
+    executions (observed across processes: the identical solve measured
+    1.42 s on first run and 0.0002 s re-run later the same day, correct
+    values included), so every timed instance must be one the runtime has
+    never seen."""
+    import secrets
+
+    if eps is None:
+        eps = (1.0 + secrets.randbelow(10**9) / 1e9) * 1e-7
+    return jax.tree.map(lambda x: x * (1.0 + eps), omegas)
+
+
+def time_solve(opt, omegas, alpha, device, repeats, eps_list=None,
+               want_result=True):
+    """Median solve time over `repeats` never-seen (randomly perturbed)
+    problem instances, with the result MATERIALIZED TO HOST inside the
+    timed region (async-dispatch cannot fake completion). The returned
+    result object is the canonical (unperturbed) solve, excluded from
+    timing. Pass the same `eps_list` to compare devices on identical
+    instances (per-instance difficulty varies)."""
+    import numpy as _np
+
+    if eps_list is None:
+        eps_list = [None] * repeats
     with jax.default_device(device):
         om = jax.tree.map(lambda x: jax.device_put(x, device), omegas)
         a = jax.device_put(jnp.asarray(alpha, jnp.float32), device)
-        # warm-up / compile
-        res = opt.solve(om, a)
-        res.us.block_until_ready()
+        # warm-up / compile on a perturbed instance
+        res = opt.solve(_perturb(om), a)
+        _np.asarray(res.us)
         times = []
-        for _ in range(repeats):
+        for eps in eps_list[:repeats]:
+            om_i = _perturb(om, eps)
             t0 = time.perf_counter()
-            res = opt.solve(om, a)
-            res.us.block_until_ready()
+            r = opt.solve(om_i, a)
+            _np.asarray(r.us)
             times.append(time.perf_counter() - t0)
-    return min(times), res
+        times.sort()
+        if want_result:
+            # canonical instance for the reported metrics (golden
+            # comparison, qp_iters) — not timed, possibly runtime-cached
+            res = opt.solve(om, a)
+            _np.asarray(res.us)
+    return times[len(times) // 2], res
 
 
 def scaling_mode(opt, M, iters, repeats, max_devices):
@@ -120,18 +152,23 @@ def scaling_mode(opt, M, iters, repeats, max_devices):
     if counts[-1] != max_devices:
         counts.append(max_devices)
     for n in counts:
+        import numpy as _np
+
         mesh = make_mesh(n_sample_devices=n)
-        om = shard_samples(omegas, mesh)
         a = jnp.asarray(0.1, opt.dtype)
-        res = opt.solve(om, a)  # compile + warm
-        res.us.block_until_ready()
+        res = opt.solve(
+            shard_samples(_perturb(omegas), mesh), a
+        )  # compile + warm (perturbed: see _perturb on the result cache)
+        _np.asarray(res.us)
         times = []
         for _ in range(repeats):
+            om = shard_samples(_perturb(omegas), mesh)
             t0 = time.perf_counter()
             res = opt.solve(om, a)
-            res.us.block_until_ready()
+            _np.asarray(res.us)
             times.append(time.perf_counter() - t0)
-        t = min(times)
+        times.sort()
+        t = times[len(times) // 2]
         rows.append((n, t))
         print(f"[bench-scaling] devices={n} t={t:.4f}s "
               f"solves/s={1.0/t:.4f}", file=sys.stderr)
@@ -198,8 +235,13 @@ def main():
     # can report the north-star trajectory error directly
     alpha = 0.2
 
+    import secrets
+
+    eps_list = [
+        (1.0 + secrets.randbelow(10**9) / 1e9) * 1e-7 for _ in range(repeats)
+    ]
     accel = jax.devices()[0]
-    t_accel, res = time_solve(opt, omegas, alpha, accel, repeats)
+    t_accel, res = time_solve(opt, omegas, alpha, accel, repeats, eps_list)
     l2_final = float(res.l2_errors[-1])
 
     l2_vs_golden = None
@@ -293,7 +335,8 @@ def main():
         print(f"[bench] parity mode t={t_par:.4f}s {parity}", file=sys.stderr)
 
     cpu = jax.devices("cpu")[0]
-    t_cpu, _ = time_solve(opt, omegas, alpha, cpu, 1)
+    t_cpu, _ = time_solve(opt, omegas, alpha, cpu, 1, eps_list,
+                          want_result=False)
     print(f"[bench] cpu baseline t={t_cpu:.4f}s", file=sys.stderr)
 
     solves_per_s = 1.0 / t_accel

@@ -35,7 +35,28 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--results", default="results")
+    # TPU-meaningful settings (the defaults reproduce the reference's
+    # CPU-x64 harness semantics; on a f32-only accelerator use
+    # --dtype f32 --eps 1e-4 --polish, the bench.py speed-mode config)
+    ap.add_argument("--dtype", choices=["f64", "f32"], default="f64")
+    ap.add_argument("--eps", type=float, default=None)
+    ap.add_argument("--eps-rel", type=float, default=None)
+    ap.add_argument("--polish", action="store_true", default=None)
     args = ap.parse_args(argv)
+
+    solver_kw = {}
+    if args.eps is not None or args.polish is not None:
+        from riskaversetrajopt_tpu.core.config import SolverConfig
+
+        eps = 1e-6 if args.eps is None else args.eps
+        solver_kw["admm_cfg"] = SolverConfig(
+            eps_abs=eps,
+            eps_rel=eps if args.eps_rel is None else args.eps_rel,
+            max_iter=20000,
+            polish=bool(args.polish),
+        )
+    if args.dtype == "f32":
+        solver_kw["dtype"] = jnp.float32
 
     rdir = common.results_dir(args.results)
     n_m, n_r, n_i = len(args.Ms), args.repeats, args.scp_iters
@@ -50,7 +71,7 @@ def main(argv=None):
         scp_cfg = dataclasses.replace(
             model.default_scp_config(), num_iters=args.scp_iters
         )
-        opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg)
+        opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg, **solver_kw)
         keys = jax.random.split(jax.random.PRNGKey(args.seed), args.repeats)
         for r in range(args.repeats):
             omegas = opt.sample(keys[r], M=M)
@@ -59,12 +80,17 @@ def main(argv=None):
             solve_t[r, im] = out["solve_times"]
             cum_t[r, im] = out["cum_times"]
             l2_err[r, im] = out["l2_errors"]
-            # fused path: the whole SCP loop as one XLA program
-            res = opt.solve(omegas, args.alpha)  # compile (cached after r=0)
-            jax.block_until_ready(res.us)
+            # fused path: the whole SCP loop as one XLA program. Compile
+            # once on a perturbed instance; the timed call then runs
+            # NEVER-SEEN inputs with host materialization (the accelerator
+            # runtime result-caches identical executions — see
+            # bench.py:_perturb).
+            if r == 0:
+                warm = jax.tree.map(lambda x: x * (1.0 + 1e-7), omegas)
+                np.asarray(opt.solve(warm, args.alpha).us)
             t0 = time.perf_counter()
             res = opt.solve(omegas, args.alpha)
-            jax.block_until_ready(res.us)
+            np.asarray(res.us)
             fused_t[r, im] = time.perf_counter() - t0
         print(f"M={M}: define/iter(med)={np.median(define_t[:, im]) * 1e3:.2f}ms "
               f"solve/iter(med)={np.median(solve_t[:, im]) * 1e3:.2f}ms "

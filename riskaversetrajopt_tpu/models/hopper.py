@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from riskaversetrajopt_tpu.core.config import HopperScenario
+from riskaversetrajopt_tpu.models.base import ConstBind
 
 
 class FrictionField(NamedTuple):
@@ -36,7 +37,9 @@ class FrictionField(NamedTuple):
     taus: jnp.ndarray  # (M, F)
 
 
-class HopperModel:
+class HopperModel(ConstBind):
+    const_attrs = ("_state_initial", "_state_final")
+
     def __init__(self, scn: HopperScenario = HopperScenario()):
         self.scn = scn
         s = scn
@@ -58,6 +61,12 @@ class HopperModel:
             [np.arange(0, s.time_jump), np.arange(s.time_land, s.S + 1)]
         )
         self.flight_idx = np.arange(s.time_jump, s.time_land)
+        # array-valued constants arg-rooted across jit boundaries
+        # (models/base.ConstBind); the phase selections in g_all use STATIC
+        # slices (time_jump/time_land are compile-time ints) rather than
+        # constant-index gathers for the same reason
+        self._state_initial = jnp.asarray(s.state_initial)
+        self._state_final = jnp.asarray(s.state_final)
 
     # -- Z layout ----------------------------------------------------------
     def split_z(self, Z):
@@ -131,22 +140,23 @@ class HopperModel:
     def g_all(self, Z, field: FrictionField, method: str, alpha: float = 0.1):
         """Full constraint stack in reference order (hopper.py:486-514)."""
         s = self.scn
+        tj, tl = s.time_jump, s.time_land
         xs, us, ys, slack, t_risk = self.split_z(Z)
         ee = jax.vmap(self.end_effector_position)(xs)  # (S+1, 2)
 
         gs_dyn = self.dynamics_defects(xs, us)
-        gs_x0 = xs[0] - s.state_initial
-        gs_xf = (xs[-1] - s.state_final)[4:6]
+        gs_x0 = xs[0] - self._state_initial
+        gs_xf = (xs[-1] - self._state_final)[4:6]
         # no-slip equality: J_row0 . q_dot = 0 on contact phases
         J_rows = jax.vmap(self.jacobian_end_effector_position)(xs)[:, 0, :]
         no_slip_all = jnp.sum(J_rows * xs[:, 4:], axis=1)  # (S+1,)
-        gs_slip = no_slip_all[self.eq_phase_idx]
-        gs_contact = ee[self.eq_phase_idx, 1]
-        gs_over = -ee[self.flight_idx, 1]
+        gs_slip = jnp.concatenate([no_slip_all[:tj], no_slip_all[tl:]])
+        gs_contact = jnp.concatenate([ee[:tj, 1], ee[tl:, 1]])
+        gs_over = -ee[tj:tl, 1]
 
         # slip-risk family (hopper.py:300-367)
-        px_c = ee[self.contact_x_idx, 0]  # (C,)
-        forces = us[self.contact_u_idx, 2:]  # (C, 2)
+        px_c = jnp.concatenate([ee[:tj, 0], ee[tl:-1, 0]])  # (C,)
+        forces = jnp.concatenate([us[:tj, 2:], us[tl:, 2:]])  # (C, 2)
 
         def slip_one_sample(i, th, ta):
             mu = s.mu_nom + jnp.sum(
@@ -308,3 +318,25 @@ class HopperModel:
 
         g_L, g_U, n_eq, xL, xU = self.bounds(method, M)
         return self.f, g_fn, g_L, g_U, n_eq, xL, xU
+
+    def make_nlp_params(self, field: FrictionField, method: str, alpha: float):
+        """Arg-rooted variant of `make_nlp` for jitted/vmapped barrier solves.
+
+        Returns (f(Z, p), g(Z, p), params, g_L, g_U, n_eq, xL, xU): the
+        friction-field arrays and the model's array constants travel in the
+        `params` pytree instead of being closure-baked into the jaxpr (the
+        target TPU runtime charges ~1.4 ms per loop step touching a baked
+        constant — ops/nlp_ipm.solve_nlp notes). `params` is also the vmap
+        axis for batched NLP solves over independent friction-field draws."""
+        M = field.intensities.shape[0]
+        params = {"field": field, "mc": self.consts()}
+
+        def f_fn(Z, p):
+            return self.f(Z)
+
+        def g_fn(Z, p):
+            m = self.bind(p["mc"])
+            return m.g_all(Z, p["field"], method, alpha)
+
+        g_L, g_U, n_eq, xL, xU = self.bounds(method, M)
+        return f_fn, g_fn, params, g_L, g_U, n_eq, xL, xU

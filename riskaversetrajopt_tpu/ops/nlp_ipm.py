@@ -71,6 +71,29 @@ class NLPResult(NamedTuple):
     f_val: jnp.ndarray
 
 
+def classify_rows(g_L, g_U, n_eq: int):
+    """Equality-row reclassification permutation, computed host-side.
+
+    IPOPT treats any row with gL == gU as an equality; rows like the
+    hopper's flight-phase contact-force pins (l = u = 0 inside the
+    "inequality" section, hopper.py:416-421) would otherwise make the slack
+    barrier infeasible (s_l + s_u must equal u - l = 0 > impossible).
+    Bounds must be CONCRETE here. Jitted callers of `solve_nlp` precompute
+    (perm, n_eq) with this helper and pass `row_perm=` so the bound arrays
+    themselves can stay traced jit arguments (see `solve_nlp` notes on the
+    target runtime's jaxpr-constant penalty)."""
+    import numpy as _np
+
+    gLn = _np.asarray(g_L)
+    gUn = _np.asarray(g_U)
+    eq_mask_np = (gUn - gLn) <= 1e-12
+    eq_mask_np[:n_eq] = True
+    perm = _np.concatenate(
+        [_np.where(eq_mask_np)[0], _np.where(~eq_mask_np)[0]]
+    )
+    return perm, int(eq_mask_np.sum())
+
+
 def solve_nlp(
     f_fn: Callable,
     g_fn: Callable,
@@ -82,35 +105,41 @@ def solve_nlp(
     Z0,
     cfg: NLPConfig = NLPConfig(),
     trace_iters: int = 0,
+    params=None,
+    row_perm=None,
 ) -> NLPResult:
     """Solve the NLP from initial guess Z0 (the reference's two-phase
     baseline->SAA warm-start workflow maps to calling this twice,
-    hopper/README.md:9-25)."""
+    hopper/README.md:9-25).
+
+    TPU arg-rooting (models/base.ConstBind rationale): on the target TPU
+    runtime an array rooted in a closure-baked jaxpr CONSTANT costs ~1.4 ms
+    per loop step that touches it, so a barrier solve whose f/g closures
+    capture problem arrays (e.g. the hopper friction field) pays seconds of
+    pure overhead. Pass those arrays as the `params` pytree instead — the
+    callbacks are then invoked as ``f_fn(Z, params)`` / ``g_fn(Z, params)``
+    — and jit `solve_nlp` with (Z0, params, bounds) as traced arguments.
+    When bounds are traced, the host-side equality reclassification cannot
+    read them: precompute ``row_perm=classify_rows(g_L, g_U, n_eq)`` outside
+    jit. `params` also makes the solver vmappable over problem instances
+    (batched NLP solves — the batched-problem axis of SURVEY.md 2.3)."""
+    if params is not None:
+        f_user, g_user = f_fn, g_fn
+        f_fn = lambda Z: f_user(Z, params)  # noqa: E731
+        g_fn = lambda Z: g_user(Z, params)  # noqa: E731
     dtype = Z0.dtype
     n = Z0.shape[0]
     m_g = g_L.shape[0]
 
-    # -- reclassify zero-gap rows as equalities ----------------------------
-    # IPOPT treats any row with gL == gU as an equality; rows like the
-    # hopper's flight-phase contact-force pins (l = u = 0 inside the
-    # "inequality" section, hopper.py:416-421) would otherwise make the slack
-    # barrier infeasible (s_l + s_u must equal u - l = 0 > impossible).
-    # Bounds must be concrete here (they are problem data, not traced).
-    import numpy as _np
-
-    gLn = _np.asarray(g_L)
-    gUn = _np.asarray(g_U)
-    eq_mask_np = (gUn - gLn) <= 1e-12
-    eq_mask_np[:n_eq] = True
-    perm = _np.concatenate(
-        [_np.where(eq_mask_np)[0], _np.where(~eq_mask_np)[0]]
+    # -- reclassify zero-gap rows as equalities (see classify_rows) --------
+    perm, n_eq = (
+        classify_rows(g_L, g_U, n_eq) if row_perm is None else row_perm
     )
-    n_eq = int(eq_mask_np.sum())
     perm_j = jnp.asarray(perm)
     g_fn_orig = g_fn
-    g_fn = lambda Z: g_fn_orig(Z)[perm_j]
-    g_L = jnp.asarray(gLn[perm], dtype)
-    g_U = jnp.asarray(gUn[perm], dtype)
+    g_fn = lambda Z: g_fn_orig(Z)[perm_j]  # noqa: E731
+    g_L = jnp.asarray(g_L, dtype)[perm_j]
+    g_U = jnp.asarray(g_U, dtype)[perm_j]
 
     # -- IPOPT gradient-based problem scaling at Z0 ------------------------
     # (nlp_scaling_max_gradient: scale the objective and each constraint row

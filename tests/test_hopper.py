@@ -10,7 +10,11 @@ import numpy as np
 
 from riskaversetrajopt_tpu.core.config import HopperScenario
 from riskaversetrajopt_tpu.models.hopper import HopperModel
-from riskaversetrajopt_tpu.ops.nlp_ipm import NLPConfig, solve_nlp
+from riskaversetrajopt_tpu.ops.nlp_ipm import (
+    NLPConfig,
+    classify_rows,
+    solve_nlp,
+)
 
 
 def test_constraint_stack_shapes():
@@ -63,6 +67,75 @@ def test_friction_field_sampling():
     bound = 0.025 * np.sqrt(2.0 / s.num_mu_features)
     assert float(jnp.max(f_saa.intensities)) <= bound + 1e-12
     assert float(jnp.min(f_saa.intensities)) >= 0.0
+
+
+def test_nlp_params_path_matches_closures():
+    """The arg-rooted (jit-argument) NLP path — make_nlp_params +
+    solve_nlp(params=..., row_perm=...) under an outer jax.jit — must
+    reproduce the closure path (TPU ConstBind rationale in ops/nlp_ipm)."""
+    model = HopperModel(HopperScenario())
+    M = 4
+    field = model.sample_friction(jax.random.PRNGKey(3), M, "saa")
+    Z0 = model.initial_guess(M)
+    cfg = NLPConfig(tol=1e-4, max_iter=15)
+
+    f, g, gL, gU, n_eq, xL, xU = model.make_nlp(field, "saa", 0.1)
+    ref = solve_nlp(f, g, gL, gU, n_eq, xL, xU, Z0, cfg)
+
+    fp, gp, params, gL2, gU2, n_eq2, xL2, xU2 = model.make_nlp_params(
+        field, "saa", 0.1
+    )
+    row_perm = classify_rows(gL2, gU2, n_eq2)
+    jit_solve = jax.jit(
+        lambda Z0, params, gL, gU, xL, xU: solve_nlp(
+            fp, gp, gL, gU, n_eq2, xL, xU, Z0, cfg,
+            params=params, row_perm=row_perm,
+        )
+    )
+    res = jit_solve(Z0, params, gL2, gU2, xL2, xU2)
+    assert int(res.iters) == int(ref.iters)
+    np.testing.assert_allclose(
+        np.asarray(res.Z), np.asarray(ref.Z), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(res.prim_res), float(ref.prim_res), rtol=1e-5, atol=1e-10
+    )
+
+
+def test_nlp_batched_solves_over_fields():
+    """vmap over the params pytree = batched NLP solves over independent
+    friction-field draws (the batched-problem axis, SURVEY.md 2.3, extended
+    to the NLP backend)."""
+    model = HopperModel(HopperScenario())
+    M, B = 3, 2
+    fields = model.sample_friction(jax.random.PRNGKey(5), B * M, "saa")
+    batched = jax.tree.map(lambda x: x.reshape(B, M, -1), fields)
+    Z0 = model.initial_guess(M)
+    cfg = NLPConfig(tol=1e-4, max_iter=6)
+
+    fp, gp, params0, gL, gU, n_eq, xL, xU = model.make_nlp_params(
+        fields._replace(
+            intensities=batched.intensities[0],
+            thetas=batched.thetas[0],
+            taus=batched.taus[0],
+        ),
+        "saa",
+        0.1,
+    )
+    row_perm = classify_rows(gL, gU, n_eq)
+
+    def one(field_b):
+        params = {"field": field_b, "mc": params0["mc"]}
+        return solve_nlp(fp, gp, gL, gU, n_eq, xL, xU, Z0, cfg,
+                         params=params, row_perm=row_perm)
+
+    res = jax.vmap(one)(
+        type(fields)(batched.intensities, batched.thetas, batched.taus)
+    )
+    assert res.Z.shape == (B, Z0.shape[0])
+    assert bool(jnp.all(jnp.isfinite(res.Z)))
+    # each batch element makes real progress from the teleporting guess
+    assert float(jnp.max(res.prim_res)) < 10.0
 
 
 def test_hopper_baseline_reaches_feasibility():

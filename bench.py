@@ -138,6 +138,43 @@ def time_solve(opt, omegas, alpha, device, repeats, eps_list=None,
     return times[len(times) // 2], res
 
 
+def batched_throughput(opt, omegas, alpha, B, repeats):
+    """Throughput of B independent M=1000 solves vmapped in lockstep.
+
+    The single-solve path is latency-bound on the TPU (62-dim triangular
+    solves, scalar reductions, while-loop step latency); vmapping B problem
+    instances (the batched-problem axis, SURVEY.md 2.3 — the reference
+    solves its 30-repeat sweeps serially, drone_risk.py:498-503) turns those
+    into (B, .)-batched ops at nearly the same latency. Under vmap the
+    while_loop runs to the max iteration count over the batch and lax.cond
+    branches both execute — the reported number pays those costs honestly.
+
+    Returns (batched solves/s, median batch wall time)."""
+    import numpy as _np
+
+    def stack(oms):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *oms)
+
+    a = jnp.asarray(alpha, jnp.float32)
+    solve_b = jax.jit(jax.vmap(lambda om: opt.solve(om, a)))
+
+    def batch():
+        return stack([_perturb(omegas) for _ in range(B)])
+
+    res = solve_b(batch())  # compile + warm
+    _np.asarray(res.us)
+    times = []
+    for _ in range(repeats):
+        omb = batch()
+        t0 = time.perf_counter()
+        r = solve_b(omb)
+        _np.asarray(r.us)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    t = times[len(times) // 2]
+    return B / t, t
+
+
 def scaling_mode(opt, M, iters, repeats, max_devices):
     """Strong-scaling table over 1..max_devices mesh devices."""
     from riskaversetrajopt_tpu.parallel.mesh import make_mesh, shard_samples
@@ -198,6 +235,8 @@ def main():
                     help="scaling mode: strong-scaling table over 1..N devices")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for the virtual mesh)")
+    ap.add_argument("--batched-child", type=int, default=0,
+                    help=argparse.SUPPRESS)  # internal: batched-throughput leg
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -227,6 +266,18 @@ def main():
 
     if args.devices:
         scaling_mode(opt, M, iters, repeats, args.devices)
+        return
+
+    if args.batched_child:
+        omegas = opt.sample(jax.random.PRNGKey(0), M=M)
+        bsps, t_b = batched_throughput(
+            opt, omegas, 0.2, args.batched_child, max(1, repeats - 1)
+        )
+        print(json.dumps({
+            "batch": args.batched_child,
+            "solves_per_s": round(bsps, 4),
+            "batch_seconds": round(t_b, 4),
+        }))
         return
 
     omegas = opt.sample(jax.random.PRNGKey(0), M=M)
@@ -334,6 +385,31 @@ def main():
         }
         print(f"[bench] parity mode t={t_par:.4f}s {parity}", file=sys.stderr)
 
+    # Batched-throughput extra (BENCH_BATCH instances vmapped in lockstep;
+    # the TPU-native answer to the reference's serial 30-repeat sweeps).
+    # Run in a SUBPROCESS: a device fault at B x M cannot poison this
+    # process (a wedged chip takes minutes to recover — see CLAUDE.md).
+    batched = None
+    B = int(os.environ.get("BENCH_BATCH", "4"))
+    if B > 1:
+        import subprocess
+
+        try:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--batched-child", str(B)]
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=2400,
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            batched = json.loads(line[-1]) if line else {
+                "batch": B, "error": (out.stderr or "no output")[-300:]}
+        except Exception as e:  # noqa: BLE001 — bench must still report
+            batched = {"batch": B, "error": str(e)[:300]}
+        print(f"[bench] batched throughput: {batched}", file=sys.stderr)
+
     cpu = jax.devices("cpu")[0]
     t_cpu, _ = time_solve(opt, omegas, alpha, cpu, 1, eps_list,
                           want_result=False)
@@ -355,6 +431,7 @@ def main():
                 "qp_capped": len(capped),
                 **mc_stats,
                 "parity_mode": parity,
+                "batched_throughput": batched,
             }
         )
     )

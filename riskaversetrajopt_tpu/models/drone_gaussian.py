@@ -20,9 +20,15 @@ import jax
 import jax.numpy as jnp
 
 from riskaversetrajopt_tpu.core.config import DroneScenario
+from riskaversetrajopt_tpu.models.base import ConstBind
 from riskaversetrajopt_tpu.models.drone import DroneModel, DroneOmega
 from riskaversetrajopt_tpu.ops.gaussian import normal_quantile, propagate_covariance
-from riskaversetrajopt_tpu.ops.nlp_ipm import NLPConfig, NLPResult, solve_nlp
+from riskaversetrajopt_tpu.ops.nlp_ipm import (
+    NLPConfig,
+    NLPResult,
+    classify_rows,
+    solve_nlp,
+)
 
 
 class GaussianDroneResult(NamedTuple):
@@ -33,7 +39,15 @@ class GaussianDroneResult(NamedTuple):
     nlp: NLPResult
 
 
-class GaussianDronePlanner:
+class GaussianDronePlanner(ConstBind):
+    # array constants arg-rooted across jit boundaries (ConstBind rationale
+    # in models/base and ops/nlp_ipm — closure-baked jaxpr constants charge
+    # ~1.4 ms per loop step on the target TPU runtime)
+    const_attrs = (
+        "_x_init", "_x_final", "_obs_positions", "_obs_radii", "_R",
+        "_nominal_omega",
+    )
+
     def __init__(self, scn: DroneScenario = DroneScenario(), alpha: float = 0.1,
                  dtype=jnp.float64):
         self.scn = scn
@@ -45,11 +59,26 @@ class GaussianDronePlanner:
         self.n_alpha = self.S * self.n_obs + self.n_obs
         self.nv = self.n_us + self.n_alpha
         self.mass_var = (2 * scn.mass_delta) ** 2 / 12.0  # drone_gaussian.py:82
+        self._x_init = scn.x_init
+        self._x_final = scn.x_final
+        self._obs_positions = scn.obs_positions
+        self._obs_radii = scn.obs_radii
+        self._R = scn.R
         self._nominal_omega = DroneOmega(
             mass=jnp.asarray(scn.mass_nom),
             obs_Q=jnp.zeros((scn.n_obs, 3, 3)),
             dWs=jnp.zeros((scn.S, scn.n_x)),
         )
+
+    def consts(self):
+        d = super().consts()
+        d["_drone"] = self.drone.consts()
+        return d
+
+    def bind(self, consts):
+        m = super().bind({k: v for k, v in consts.items() if k != "_drone"})
+        m.drone = self.drone.bind(consts["_drone"])
+        return m
 
     def split_z(self, Z):
         us = Z[: self.n_us].reshape(self.S, self.n_u)
@@ -68,7 +97,7 @@ class GaussianDronePlanner:
             xn = x + self.scn.dt * self.drone.drift(x, u, om)
             return xn, xn
 
-        x0 = self.scn.x_init.astype(us_mat.dtype)
+        x0 = self._x_init.astype(us_mat.dtype)
         _, xs_tail = jax.lax.scan(step, x0, us_mat)
         return jnp.concatenate([x0[None], xs_tail], axis=0)
 
@@ -121,28 +150,29 @@ class GaussianDronePlanner:
             return jax.vmap(
                 lambda t: one(
                     xs[t + 1], Sigmas[t + 1], a_state[t, j], a_obs[j],
-                    scn.obs_positions[j], scn.obs_radii[j],
+                    self._obs_positions[j], self._obs_radii[j],
                 )
             )(jnp.arange(self.S))
 
         return jax.vmap(per_obstacle)(jnp.arange(self.n_obs))  # (n_obs, S)
 
     def state_bound_constraints(self, us_mat):
-        """xs[:, :2] box rows (drone_gaussian.py:368-374)."""
+        """xs[:, :2] box rows (drone_gaussian.py:368-374). Bounds enter as
+        scalar literals (no baked array constants — see const_attrs note)."""
         xs = self.mean_trajectory(us_mat)
-        hi = (xs[:, :2] - jnp.array([0.5, 0.5])).reshape(-1)
-        lo = (-xs[:, :2] + jnp.array([-2.0, -0.5])).reshape(-1)
+        hi = (xs[:, :2] - 0.5).reshape(-1)
+        lo = jnp.stack([-xs[:, 0] - 2.0, -xs[:, 1] - 0.5], axis=-1).reshape(-1)
         return jnp.concatenate([hi, lo])
 
     # -- NLP assembly (drone_gaussian.py:400-526) --------------------------
     def f(self, Z):
         us, _, _ = self.split_z(Z)
-        R = self.scn.R
+        R = self._R
         return 2.0 * self.scn.dt * jnp.sum(jnp.einsum("ti,ij,tj->t", us, R, us))
 
     def g(self, Z):
         us, a_state, a_obs = self.split_z(Z)
-        g_final = self.mean_trajectory(us)[-1] - self.scn.x_final
+        g_final = self.mean_trajectory(us)[-1] - self._x_final
         g_obs = self.obstacle_constraints(us, a_state, a_obs).reshape(-1)
         g_sb = self.state_bound_constraints(us)
         alphas = Z[self.n_us :]
@@ -179,7 +209,8 @@ class GaussianDronePlanner:
         return Z.at[self.n_us :].set(a0)
 
     def solve(
-        self, us_init: Optional[jnp.ndarray] = None, cfg: Optional[NLPConfig] = None
+        self, us_init: Optional[jnp.ndarray] = None,
+        cfg: Optional[NLPConfig] = None, jitted: bool = False,
     ) -> GaussianDroneResult:
         # ~500 barrier iterations are required from the SAA warm start (the
         # round-1 "dual plateau at 0.4" was an under-budgeted run: at
@@ -189,7 +220,20 @@ class GaussianDronePlanner:
         cfg = cfg or NLPConfig(tol=1e-6, max_iter=1500)
         g_L, g_U, n_eq, x_L, x_U = self.bounds()
         Z0 = self.initial_guess(us_init)
-        res = solve_nlp(self.f, self.g, g_L, g_U, n_eq, x_L, x_U, Z0, cfg)
+        if jitted:
+            # arg-rooted path for accelerators: problem arrays travel as jit
+            # arguments via the params pytree (ops/nlp_ipm solve_nlp notes)
+            row_perm = classify_rows(g_L, g_U, n_eq)
+            f_fn = lambda Z, p: self.bind(p).f(Z)  # noqa: E731
+            g_fn = lambda Z, p: self.bind(p).g(Z)  # noqa: E731
+            res = jax.jit(
+                lambda Z0, params, gL, gU, xL, xU: solve_nlp(
+                    f_fn, g_fn, gL, gU, n_eq, xL, xU, Z0, cfg,
+                    params=params, row_perm=row_perm,
+                )
+            )(Z0, self.consts(), g_L, g_U, x_L, x_U)
+        else:
+            res = solve_nlp(self.f, self.g, g_L, g_U, n_eq, x_L, x_U, Z0, cfg)
         us, a_state, a_obs = self.split_z(res.Z)
         return GaussianDroneResult(
             us=us,

@@ -89,6 +89,23 @@ def test_gaussian_drone_planner_smoke():
     assert float(jnp.max(jnp.abs(res.xs[-1] - p.scn.x_final))) < 1e-2
 
 
+def test_gaussian_drone_jitted_params_path():
+    """solve(jitted=True) — problem arrays as jit arguments via the params
+    pytree (TPU arg-rooting, ops/nlp_ipm notes) — must reproduce the
+    closure path."""
+    from riskaversetrajopt_tpu.models.drone_gaussian import GaussianDronePlanner
+    from riskaversetrajopt_tpu.ops.nlp_ipm import NLPConfig
+
+    p = GaussianDronePlanner(DroneScenario(), alpha=0.2)
+    cfg = NLPConfig(tol=1e-5, max_iter=25)
+    ref = p.solve(us_init=None, cfg=cfg)
+    res = p.solve(us_init=None, cfg=cfg, jitted=True)
+    assert int(res.nlp.iters) == int(ref.nlp.iters)
+    np.testing.assert_allclose(
+        np.asarray(res.us), np.asarray(ref.us), rtol=1e-6, atol=1e-9
+    )
+
+
 def test_gaussian_drone_solves_warm():
     """IPOPT-equivalence claim: with the SAA warm start the reference
     prescribes (drone_gaussian.py:104-116), the NLP must report `solved` at

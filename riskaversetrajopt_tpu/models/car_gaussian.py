@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from riskaversetrajopt_tpu.core.config import CarScenario, SolverConfig
+from riskaversetrajopt_tpu.models.base import ConstBind
 from riskaversetrajopt_tpu.models.car import CarModel, CarOmega
 from riskaversetrajopt_tpu.ops import admm
 from riskaversetrajopt_tpu.ops.gaussian import normal_quantile, propagate_covariance
@@ -34,8 +35,13 @@ class GaussianCarResult(NamedTuple):
     l2_errors: jnp.ndarray
 
 
-class GaussianCarPlanner:
+class GaussianCarPlanner(ConstBind):
     OSQP_TOL = 1e-8  # reference override (driving_gaussian.py:27)
+    # array constants arg-rooted across jit boundaries (models/base.ConstBind:
+    # closure-baked jaxpr constants charge ~1.4 ms per loop step on the
+    # target TPU runtime) — see solve_jitted
+    const_attrs = ("Sigma0", "_nominal_omega", "_state_init", "_goal",
+                   "_R_diag")
 
     def __init__(self, scn: CarScenario = CarScenario(), alpha: float = 0.1,
                  num_scp_iters: int = 60, dtype=jnp.float64):
@@ -53,6 +59,11 @@ class GaussianCarPlanner:
         self.Sigma0 = jnp.zeros((scn.n_x, scn.n_x)).at[4:, 4:].set(
             scn.variance_ped_initial_state
         )
+        self._state_init = scn.state_init
+        self._goal = jnp.concatenate(
+            (scn.position_ego_goal, scn.velocity_ego_goal)
+        )
+        self._R_diag = jnp.diag(scn.R)
         self._nominal_omega = CarOmega(
             state_init=scn.state_init,
             omega_speed=jnp.asarray(scn.omega_speed_nom),
@@ -68,10 +79,9 @@ class GaussianCarPlanner:
             xn = x + self.scn.dt * self.car.drift(x, u, om)
             return xn, xn
 
-        _, xs_tail = jax.lax.scan(step, self.scn.state_init.astype(us_mat.dtype), us_mat)
-        return jnp.concatenate(
-            [self.scn.state_init[None].astype(us_mat.dtype), xs_tail], axis=0
-        )
+        x0 = self._state_init.astype(us_mat.dtype)
+        _, xs_tail = jax.lax.scan(step, x0, us_mat)
+        return jnp.concatenate([x0[None], xs_tail], axis=0)
 
     def covariance_trajectory(self, us_mat):
         om = self._nominal_omega
@@ -120,10 +130,7 @@ class GaussianCarPlanner:
 
     def final_constraints(self, us_mat):
         xs = self.mean_trajectory(us_mat)
-        goal = jnp.concatenate(
-            (self.scn.position_ego_goal, self.scn.velocity_ego_goal)
-        )
-        return xs[-1, :4] - goal
+        return xs[-1, :4] - self._goal
 
     # -- QP assembly (driving_gaussian.py:271-426) --------------------------
     def build_qp(self, us_prev, alphas_prev, scp_iter):
@@ -196,7 +203,7 @@ class GaussianCarPlanner:
         u = jnp.concatenate([u_top, u_cr])
 
         P = jnp.zeros((nv, nv), dtype)
-        p_u = jnp.tile(2.0 * self.scn.dt * jnp.diag(self.scn.R), S)
+        p_u = jnp.tile(2.0 * self.scn.dt * self._R_diag, S)
         P = P.at[jnp.arange(n_u * S), jnp.arange(n_u * S)].set(p_u.astype(dtype))
         q = jnp.zeros(nv, dtype)
         return P, q, A, l, u
@@ -232,3 +239,9 @@ class GaussianCarPlanner:
         return GaussianCarResult(
             us=us, alphas_risk=alphas, xs=xs, Sigmas=Sigmas, l2_errors=l2s
         )
+
+    def solve_jitted(self, ipm_cfg: IPMConfig = None) -> GaussianCarResult:
+        """`solve` with the planner's array constants passed as jit
+        ARGUMENTS (ConstBind) instead of closure-baked constants — the
+        TPU-ready entry point. Numerically identical to jit(self.solve)."""
+        return jax.jit(lambda c: self.bind(c).solve(ipm_cfg))(self.consts())

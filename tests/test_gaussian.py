@@ -89,6 +89,21 @@ def test_gaussian_drone_planner_smoke():
     assert float(jnp.max(jnp.abs(res.xs[-1] - p.scn.x_final))) < 1e-2
 
 
+def test_gaussian_car_jitted_consts_path():
+    """solve_jitted (array constants as jit arguments, ConstBind) must
+    reproduce jit(solve) (closure constants)."""
+    p = GaussianCarPlanner(CarScenario(), alpha=0.1, num_scp_iters=6)
+    ref = jax.jit(p.solve)()
+    res = p.solve_jitted()
+    np.testing.assert_allclose(
+        np.asarray(res.us), np.asarray(ref.us), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.alphas_risk), np.asarray(ref.alphas_risk),
+        rtol=1e-9, atol=1e-12
+    )
+
+
 def test_gaussian_drone_jitted_params_path():
     """solve(jitted=True) — problem arrays as jit arguments via the params
     pytree (TPU arg-rooting, ops/nlp_ipm notes) — must reproduce the

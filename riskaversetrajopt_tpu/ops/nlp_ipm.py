@@ -56,6 +56,15 @@ class NLPConfig(NamedTuple):
     # tracks the iterate's actual complementarity) or 'monotone'
     # (Fiacco-McCormick schedule)
     mu_strategy: str = "loqo"
+    # Second-order correction (IPOPT sec 2.4 / Wachter-Biegler eq. 27): when
+    # the full trial step is rejected, re-solve the SAME KKT factorization
+    # with the equality rhs replaced by the SOC residual
+    # a*c(x_k) + c(x_k + a*dZ) — one extra constraint evaluation + LU
+    # back-substitution — and take the corrected step if IT passes the line
+    # search. Corrects for constraint curvature that the linear model misses
+    # (RK4 defect rows); applied to equality rows (the curvature carriers
+    # here), inequalities keep their slacked rhs. Off by default.
+    soc: bool = False
 
 
 class NLPResult(NamedTuple):
@@ -311,21 +320,14 @@ def solve_nlp(
         K = K.at[:n, n:].set(J.T)
         K = K.at[n:, :n].set(J)
         K = K.at[n + jnp.arange(m), n + jnp.arange(m)].set(diag_block)
-        rhs_full = jnp.concatenate([-r_d, rhs_rows])
         lu, piv = jax.scipy.linalg.lu_factor(K)
-        sol_aug = jax.scipy.linalg.lu_solve((lu, piv), rhs_full)
-        # one step of iterative refinement
-        sol_aug = sol_aug + jax.scipy.linalg.lu_solve(
-            (lu, piv), rhs_full - K @ sol_aug
-        )
-        dZ = sol_aug[:n]
-        dy_eq = sol_aug[n : n + n_eq]
 
-        JdZ = J_in @ dZ
-        ds_l = jnp.where(has_l, JdZ + r_l, 0.0)
-        ds_u = jnp.where(has_u, r_u - JdZ, 0.0)
-        dlam_l = jnp.where(has_l, -(r_cl + s.lam_l * ds_l) / s.s_l, 0.0)
-        dlam_u = jnp.where(has_u, -(r_cu + s.lam_u * ds_u) / s.s_u, 0.0)
+        def solve_kkt(rhs_full):
+            sol = jax.scipy.linalg.lu_solve((lu, piv), rhs_full)
+            # one step of iterative refinement
+            return sol + jax.scipy.linalg.lu_solve(
+                (lu, piv), rhs_full - K @ sol
+            )
 
         # fraction-to-boundary
         tau_ftb = jnp.maximum(cfg.tau_min, 1.0 - s.mu)
@@ -336,10 +338,26 @@ def solve_nlp(
             )
             return jnp.minimum(1.0, tau_ftb * jnp.min(ratio, initial=jnp.inf))
 
-        a_p_max = jnp.minimum(max_step(s.s_l, ds_l, has_l), max_step(s.s_u, ds_u, has_u))
-        a_d = jnp.minimum(
-            max_step(s.lam_l, dlam_l, has_l), max_step(s.lam_u, dlam_u, has_u)
-        )
+        def mk_dirs(sol_aug):
+            """Full direction bundle from an augmented-KKT solution."""
+            dZ = sol_aug[:n]
+            dy_eq = sol_aug[n : n + n_eq]
+            JdZ = J_in @ dZ
+            ds_l = jnp.where(has_l, JdZ + r_l, 0.0)
+            ds_u = jnp.where(has_u, r_u - JdZ, 0.0)
+            dlam_l = jnp.where(has_l, -(r_cl + s.lam_l * ds_l) / s.s_l, 0.0)
+            dlam_u = jnp.where(has_u, -(r_cu + s.lam_u * ds_u) / s.s_u, 0.0)
+            a_p_max = jnp.minimum(
+                max_step(s.s_l, ds_l, has_l), max_step(s.s_u, ds_u, has_u)
+            )
+            a_d = jnp.minimum(
+                max_step(s.lam_l, dlam_l, has_l),
+                max_step(s.lam_u, dlam_u, has_u),
+            )
+            return (dZ, dy_eq, ds_l, ds_u, dlam_l, dlam_u, a_p_max, a_d)
+
+        dirs = mk_dirs(solve_kkt(jnp.concatenate([-r_d, rhs_rows])))
+        dZ, dy_eq, ds_l, ds_u, dlam_l, dlam_u, a_p_max, a_d = dirs
 
         # penalty update: nu must dominate the multipliers (guarded so a
         # non-finite trial direction cannot poison the penalty permanently)
@@ -356,10 +374,10 @@ def solve_nlp(
         # backtracking Armijo on the merit
         phi0, theta0 = merit(s.Z, s.s_l, s.s_u, s.mu, nu)
 
-        def try_alpha(a):
-            Zt = s.Z + a * dZ
-            slt = s.s_l + a * ds_l
-            sut = s.s_u + a * ds_u
+        def try_alpha(a, dZ_, ds_l_, ds_u_):
+            Zt = s.Z + a * dZ_
+            slt = s.s_l + a * ds_l_
+            sut = s.s_u + a * ds_u_
             phi, theta = merit(Zt, slt, sut, s.mu, nu)
             finite = jnp.isfinite(phi)
             # accept on merit decrease or violation decrease
@@ -369,6 +387,32 @@ def solve_nlp(
             )
             return ok
 
+        ok0 = try_alpha(a_p_max, dZ, ds_l, ds_u)
+
+        if cfg.soc:
+            # Second-order correction (see NLPConfig.soc): one extra
+            # constraint evaluation at the rejected trial point + one LU
+            # back-substitution on the SAME factorization. Taken only if the
+            # corrected full step itself passes the line search; otherwise
+            # the original direction proceeds to backtracking.
+            def with_soc():
+                Zt = s.Z + a_p_max * dZ
+                ct = c_fn(Zt)
+                r_eq_soc = a_p_max * r_eq + (ct[:n_eq] - b_eq)
+                rhs2 = jnp.concatenate([-r_d, -r_eq_soc, v / D_safe])
+                d2 = mk_dirs(solve_kkt(rhs2))
+                ok2 = try_alpha(d2[6], d2[0], d2[2], d2[3])
+                chosen = jax.tree.map(
+                    lambda a_, b_: jnp.where(ok2, a_, b_), d2, dirs
+                )
+                return chosen, ok2
+
+            (dirs_c, soc_taken) = lax.cond(
+                ok0, lambda: (dirs, jnp.asarray(False)), with_soc
+            )
+            dZ, dy_eq, ds_l, ds_u, dlam_l, dlam_u, a_p_max, a_d = dirs_c
+            ok0 = ok0 | soc_taken
+
         def bt_cond(carry):
             a, ok, k = carry
             return jnp.logical_not(ok) & (k < cfg.max_backtracks)
@@ -376,9 +420,8 @@ def solve_nlp(
         def bt_step(carry):
             a, ok, k = carry
             a_try = a * 0.5
-            return (a_try, try_alpha(a_try), k + 1)
+            return (a_try, try_alpha(a_try, dZ, ds_l, ds_u), k + 1)
 
-        ok0 = try_alpha(a_p_max)
         a_p, ok, n_bt = lax.while_loop(bt_cond, bt_step, (a_p_max, ok0, 0))
 
         Z_new = s.Z + a_p * dZ

@@ -91,3 +91,45 @@ def test_two_sided_rows():
     )
     assert bool(res.solved)
     np.testing.assert_allclose(np.asarray(res.Z), [0.0, 1.0], atol=1e-5)
+
+
+def test_second_order_correction_maratos():
+    """Maratos-effect problem (min 2(x1^2+x2^2-1) - x1 s.t. x1^2+x2^2=1):
+    near the solution (1,0) the full Newton step is rejected by any merit
+    function because the linearized circle constraint misses its curvature.
+    The second-order correction (NLPConfig.soc, IPOPT sec 2.4) restores full
+    steps; both variants must solve, and SOC must not be slower."""
+
+    def f(Z):
+        return 2.0 * (Z[0] ** 2 + Z[1] ** 2 - 1.0) - Z[0]
+
+    def g(Z):
+        return jnp.array([Z[0] ** 2 + Z[1] ** 2])
+
+    kw = dict(
+        g_L=jnp.array([1.0]), g_U=jnp.array([1.0]), n_eq=1,
+        x_L=jnp.full(2, -1e15), x_U=jnp.full(2, 1e15),
+        Z0=jnp.array([jnp.cos(0.5), jnp.sin(0.5)]),  # on the circle, off-optimum
+    )
+    base = solve_nlp(f, g, cfg=NLPConfig(tol=1e-8, max_iter=100), **kw)
+    soc = solve_nlp(f, g, cfg=NLPConfig(tol=1e-8, max_iter=100, soc=True), **kw)
+    for res in (base, soc):
+        assert bool(res.solved)
+        np.testing.assert_allclose(np.asarray(res.Z), [1.0, 0.0], atol=1e-6)
+    assert int(soc.iters) <= int(base.iters)
+
+
+def test_soc_no_regression_on_hopper_baseline():
+    """SOC enabled must not break the hopper contact-implicit solve (the
+    RK4 defect rows are the curvature-heavy equality family)."""
+    from riskaversetrajopt_tpu.core.config import HopperScenario
+    from riskaversetrajopt_tpu.models.hopper import HopperModel
+
+    model = HopperModel(HopperScenario())
+    field = model.sample_friction(jax.random.PRNGKey(1), model.M, "baseline")
+    f, g, gL, gU, n_eq, xL, xU = model.make_nlp(field, "baseline", 0.1)
+    Z0 = model.initial_guess(model.M)
+    res = solve_nlp(f, g, gL, gU, n_eq, xL, xU, Z0,
+                    NLPConfig(tol=1e-4, max_iter=60, soc=True))
+    assert float(res.prim_res) < 1e-2
+    assert bool(jnp.all(jnp.isfinite(res.Z)))

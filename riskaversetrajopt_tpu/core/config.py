@@ -68,6 +68,12 @@ class SolverConfig:
     polish_refine_iters: int = 3
     # Iterative-refinement steps applied to KKT solves (helps f32 on TPU).
     kkt_refine_iters: int = 1
+    # Residual operator for in-iteration KKT refinement: "true" (exact
+    # residual via 2 extra G-sweeps per pass; also corrects the
+    # factor-formation error) or "factored" (residual against the stored
+    # Schur blocks; ~0 extra HBM traffic, corrects the triangular-solve
+    # roundoff only). See ops/saa_qp.SAAQPOps.
+    kkt_refine_mode: str = "true"
     # Refine the KKT solve only every P-th ADMM iteration (1 = every
     # iteration). Each refinement pass costs 2 extra G-sweeps — the
     # HBM-bound core of the structured iteration. MEASURED (M=1000 TPU

@@ -208,8 +208,20 @@ class SAAQPOps:
     Variable order z = [u (n) | y (M) | s | t]; row order
     [final | cvar | y-rows | sample blocks | slack | control]."""
 
-    def __init__(self, st: SAAQPStatic, data: SAAQPData, scp_iter, kkt_refine_iters=1):
+    def __init__(self, st: SAAQPStatic, data: SAAQPData, scp_iter,
+                 kkt_refine_iters=1, kkt_refine_mode="true"):
+        # kkt_refine_mode: residual operator for the in-iteration KKT
+        # refinement. "true" recomputes N x through matvec_A/rmatvec_A — two
+        # extra G-sweeps per pass, i.e. it doubles the HBM traffic of the
+        # ADMM iteration at M=1000 — and corrects BOTH the triangular-solve
+        # roundoff and the factor-formation (einsum-accumulation) error.
+        # "factored" computes the residual against the STORED Schur blocks
+        # (N_vv, C, D, beta): O(M*(n+2)) traffic (~0.25 MB vs 14.4 MB),
+        # corrects the solve roundoff only. Which error dominates the
+        # warm-start consistency benefit is an empirical question — the
+        # bench A/Bs the two on hardware.
         self.st = st
+        self.kkt_refine_mode = kkt_refine_mode
         if st.sample_pin is not None:
             data = data._replace(
                 G=self._pin_with(st.sample_pin, data.G),
@@ -459,7 +471,9 @@ class SAAQPOps:
 
         chol0 = jnp.linalg.cholesky(S + base * scale * eye_v)
         _, chol_S = jax.lax.while_loop(jcond, jstep, (base, chol0))
-        return (chol_S, C, D, beta)
+        # N_vv rides along for the "factored" refinement mode (tiny:
+        # (n+2)^2); unused by mode "true"
+        return (chol_S, C, D, beta, N_vv)
 
     def _solve_yy(self, D, beta, r):
         """(D + beta 11^T)^-1 r via Sherman-Morrison."""
@@ -468,7 +482,7 @@ class SAAQPOps:
         return Dinv_r - (beta * jnp.sum(Dinv_r) / denom) / D
 
     def kkt_solve(self, factor, rhs, rho_vec, sigma_vec, cost_scale=1.0):
-        chol_S, C, D, beta = factor
+        chol_S, C, D, beta, N_vv = factor
         n, M = self.st.n, self.st.M
         r_u = rhs[:n]
         r_y = rhs[n : n + M]
@@ -483,17 +497,31 @@ class SAAQPOps:
             y = self._solve_yy(D, beta, r_y - C @ v)
             return v, y
 
-        v, y = solve_once(r_v, r_y)
-        x = jnp.concatenate([v[:n], y, v[n:]])
-        for _ in range(self.kkt_refine_iters):
-            res = rhs - (
+        def residual_true(x):
+            return rhs - (
                 cost_scale * self.matvec_P(x)
                 + sigma_vec * x
                 + self.rmatvec_A(rho_vec * self.matvec_A(x))
             )
-            dv, dy = solve_once(
-                jnp.concatenate([res[:n], res[n + M :]]), res[n : n + M]
-            )
+
+        def residual_factored(v, y):
+            # N x through the stored blocks: N = [[N_vv, C^T], [C, D+b11^T]]
+            Nx_v = N_vv @ v + C.T @ y
+            Nx_y = C @ v + D * y + beta * jnp.sum(y)
+            return jnp.concatenate([r_v - Nx_v, r_y - Nx_y])
+
+        v, y = solve_once(r_v, r_y)
+        x = jnp.concatenate([v[:n], y, v[n:]])
+        for _ in range(self.kkt_refine_iters):
+            if self.kkt_refine_mode == "factored":
+                rf = residual_factored(jnp.concatenate([x[:n], x[n + M:]]),
+                                       x[n : n + M])
+                res_v, res_y = rf[: n + 2], rf[n + 2 :]
+            else:
+                res = residual_true(x)
+                res_v = jnp.concatenate([res[:n], res[n + M :]])
+                res_y = res[n : n + M]
+            dv, dy = solve_once(res_v, res_y)
             x = x + jnp.concatenate([dv[:n], dy, dv[n:]])
         return x
 
@@ -509,7 +537,10 @@ def solve_saa_qp(
     ruiz_iters: int = 5,
 ) -> admm.QPSolution:
     """Solve one SCP subproblem with the structured operator."""
-    ops = SAAQPOps(st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters)
+    ops = SAAQPOps(
+        st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters,
+        kkt_refine_mode=getattr(cfg, "kkt_refine_mode", "true"),
+    )
     _, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)
     scaling = admm.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters) if scale else None

@@ -210,3 +210,47 @@ def test_structured_solution_matches_dense_admm(baseline):
     obj = lambda v: 0.5 * np.sum(np.asarray(p_diag) * v * v) + np.asarray(q) @ v
     o_s, o_d = obj(np.asarray(sol_struct.x)), obj(np.asarray(sol_dense.x))
     assert abs(o_s - o_d) <= 1e-3 * (1 + abs(o_d))
+
+
+def test_factored_refine_mode_solves():
+    """kkt_refine_mode='factored' (residual against the stored Schur blocks,
+    ~zero extra HBM traffic) must still produce accurate KKT solves and a
+    certified ADMM solution matching the 'true'-mode solution."""
+    st, data = make_problem()
+    scp_iter = jnp.asarray(3)
+    l, u = build_bounds(st, data, scp_iter)
+    p_diag, _ = build_objective(st, data)
+    nv = st.n + st.M + 2
+    sigma_vec = jnp.full(nv, 1e-6)
+    rho_vec = admm.rho_vector(l, u, 0.1)
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal(nv)
+
+    ops_f = SAAQPOps(st, data, scp_iter, kkt_refine_iters=2,
+                     kkt_refine_mode="factored")
+    factor = ops_f.factorize(rho_vec, sigma_vec)
+    x_f = ops_f.kkt_solve(factor, jnp.array(rhs), rho_vec, sigma_vec)
+    # residual of the TRUE system after factored-mode refinement
+    res = jnp.array(rhs) - (
+        ops_f.matvec_P(x_f) + sigma_vec * x_f
+        + ops_f.rmatvec_A(rho_vec * ops_f.matvec_A(x_f))
+    )
+    assert float(jnp.max(jnp.abs(res))) < 1e-9 * max(
+        1.0, float(jnp.max(jnp.abs(rhs)))
+    )
+
+    # full ADMM equality between the modes on the certifiable gated QP
+    # (cold-start post-gating QPs are degenerate and never certify without
+    # the SCP loop's warm start — out of scope here)
+    cfg_t = SolverConfig(eps_abs=1e-6, eps_rel=1e-6, max_iter=4000,
+                         polish=False, kkt_refine_iters=1)
+    cfg_f = SolverConfig(eps_abs=1e-6, eps_rel=1e-6, max_iter=4000,
+                         polish=False, kkt_refine_iters=1,
+                         kkt_refine_mode="factored")
+    s_t = solve_saa_qp(st, data, jnp.asarray(0), cfg_t)
+    s_f = solve_saa_qp(st, data, jnp.asarray(0), cfg_f)
+    assert bool(s_t.solved) and bool(s_f.solved)
+    assert int(s_t.iters) == int(s_f.iters)
+    np.testing.assert_allclose(
+        np.asarray(s_f.x), np.asarray(s_t.x), rtol=1e-6, atol=1e-9,
+    )

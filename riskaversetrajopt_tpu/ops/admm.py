@@ -178,6 +178,13 @@ class _State(NamedTuple):
     done: jnp.ndarray
     prim_inf: jnp.ndarray
     dual_inf: jnp.ndarray
+    # UNSCALED matvecs of (x_prev, y_prev) cached from the previous
+    # termination check, so the infeasibility-certificate deltas
+    # (A^T dy, P dx, A dx — linear in the iterates) come from vector
+    # subtractions instead of three extra full-operator sweeps per check
+    prev_Ax: jnp.ndarray
+    prev_Px: jnp.ndarray
+    prev_Aty: jnp.ndarray
 
 
 def admm_solve(
@@ -259,7 +266,10 @@ def admm_solve(
         return x_next, z_next, y_next
 
     def residuals(x, z, y):
-        """Unscaled residuals + eps thresholds + scaled-ratio for rho."""
+        """Unscaled residuals + eps thresholds + scaled-ratio for rho.
+
+        Also returns the unscaled matvecs (A x_u, P x_u, A^T y_u) for the
+        delta-based infeasibility certificates."""
         Ax_s = sops.matvec_A(x)
         Px_s = sops.matvec_P(x)
         Aty_s = sops.rmatvec_A(y)
@@ -289,18 +299,17 @@ def admm_solve(
             + 1e-30
         )
         ratio = (prim_s / denom_p) / (dual_s / denom_d + 1e-30)
-        return prim, dual, eps_prim, eps_dual, ratio
+        return prim, dual, eps_prim, eps_dual, ratio, (Ax, Px, Aty)
 
     def cond(s: _State):
         return jnp.logical_not(s.done) & (s.it < cfg.max_iter)
 
-    def infeasibility(x, y, x_prev, y_prev):
-        """OSQP infeasibility certificates from the iterate deltas
-        (Stellato et al. sec 3.4), in unscaled quantities."""
-        eps_inf = 1e-4
-        dy = (y - y_prev) * E / c  # unscaled dual delta
+    def certificate_terms(dy, dx, Atdy, Pdx, Adx, eps_scale=1.0):
+        """OSQP infeasibility-certificate conditions (Stellato et al.
+        sec 3.4) given the delta matvecs, all unscaled. eps_scale widens
+        the thresholds for the cheap prescreen."""
+        eps_inf = 1e-4 * eps_scale
         dy_norm = jnp.max(jnp.abs(dy))
-        Atdy = ops.rmatvec_A(dy)
         sup = jnp.sum(
             jnp.where(dy > 0, jnp.where(jnp.isfinite(u), u, jnp.inf) * dy, 0.0)
         ) + jnp.sum(
@@ -312,10 +321,7 @@ def admm_solve(
             & (sup <= eps_inf * dy_norm)
         )
 
-        dx = (x - x_prev) * D  # unscaled primal delta
         dx_norm = jnp.max(jnp.abs(dx))
-        Pdx = ops.matvec_P(dx)
-        Adx = ops.matvec_A(dx)
         cone_ok = jnp.all(
             jnp.where(
                 jnp.isinf(u),
@@ -335,6 +341,34 @@ def admm_solve(
         )
         return prim_inf, dual_inf
 
+    def infeasibility(x, y, s: "_State", cur):
+        """Two-stage certificates: a FREE prescreen from cached matvec
+        deltas (the certificate matvecs are linear in the iterates, so
+        A^T dy = A^T y - A^T y_prev etc. are vector subtractions of
+        quantities the termination check already computes), then — only if
+        the widened thresholds fire — an exact confirmation with real
+        operator sweeps at the original thresholds. The difference form
+        carries O(eps*|A^T y|) rounding noise, so the prescreen is never
+        trusted to DECLARE infeasibility, only to gate the exact check."""
+        dy = (y - s.y) * E / c  # unscaled dual delta
+        dx = (x - s.x) * D  # unscaled primal delta
+        Ax, Px, Aty = cur
+        p_scr, d_scr = certificate_terms(
+            dy, dx, Aty - s.prev_Aty, Px - s.prev_Px, Ax - s.prev_Ax,
+            eps_scale=10.0,
+        )
+
+        def exact():
+            return certificate_terms(
+                dy, dx, ops.rmatvec_A(dy), ops.matvec_P(dx), ops.matvec_A(dx)
+            )
+
+        return lax.cond(
+            p_scr | d_scr,
+            exact,
+            lambda: (jnp.asarray(False), jnp.asarray(False)),
+        )
+
     def body(s: _State):
         def inner(j, xzy):
             x, z, y = xzy
@@ -342,9 +376,9 @@ def admm_solve(
             return one_iter(x, z, y, s.rho, s.factor, refine_now)
 
         x, z, y = lax.fori_loop(0, cfg.check_every, inner, (s.x, s.z, s.y))
-        prim, dual, eps_prim, eps_dual, ratio = residuals(x, z, y)
+        prim, dual, eps_prim, eps_dual, ratio, cur = residuals(x, z, y)
         solved = (prim <= eps_prim) & (dual <= eps_dual)
-        prim_inf, dual_inf = infeasibility(x, y, s.x, s.y)
+        prim_inf, dual_inf = infeasibility(x, y, s, cur)
 
         if cfg.adaptive_rho:
             rho_new = jnp.clip(s.rho * jnp.sqrt(ratio), _RHO_MIN, _RHO_MAX)
@@ -375,8 +409,14 @@ def admm_solve(
             done=solved | prim_inf | dual_inf,
             prim_inf=prim_inf,
             dual_inf=dual_inf,
+            prev_Ax=cur[0],
+            prev_Px=cur[1],
+            prev_Aty=cur[2],
         )
 
+    # seed the cached matvecs of the initial iterate (one-time sweeps; the
+    # per-check infeasibility deltas subtract against these)
+    *_, cur0 = residuals(x, z, y)
     init = _State(
         x=x,
         z=z,
@@ -391,6 +431,9 @@ def admm_solve(
         done=jnp.asarray(False),
         prim_inf=jnp.asarray(False),
         dual_inf=jnp.asarray(False),
+        prev_Ax=cur0[0],
+        prev_Px=cur0[1],
+        prev_Aty=cur0[2],
     )
     s = lax.while_loop(cond, body, init)
 

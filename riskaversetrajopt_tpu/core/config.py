@@ -84,6 +84,13 @@ class SolverConfig:
     # 1 for production.
     kkt_refine_period: int = 1
     scaled_termination: bool = False
+    # Termination-check interval backoff: when a check finds the residuals
+    # >100x away from tolerance, the next check is scheduled at double the
+    # interval (up to check_backoff_max * check_every), resetting to
+    # check_every once within range. Each check costs ~2 full-Jacobian HBM
+    # sweeps at M=1000, so long transition solves spend less on checking.
+    # 1 = off (check every check_every iterations, OSQP default behavior).
+    check_backoff_max: int = 1
 
 
 @dataclass(frozen=True)

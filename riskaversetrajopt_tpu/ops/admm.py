@@ -185,6 +185,8 @@ class _State(NamedTuple):
     prev_Ax: jnp.ndarray
     prev_Px: jnp.ndarray
     prev_Aty: jnp.ndarray
+    # iterations until the next termination check (cfg.check_backoff_max)
+    interval: jnp.ndarray
 
 
 def admm_solve(
@@ -375,10 +377,25 @@ def admm_solve(
             refine_now = ((s.it + j) % period == 0) if two_path else None
             return one_iter(x, z, y, s.rho, s.factor, refine_now)
 
-        x, z, y = lax.fori_loop(0, cfg.check_every, inner, (s.x, s.z, s.y))
+        x, z, y = lax.fori_loop(0, s.interval, inner, (s.x, s.z, s.y))
         prim, dual, eps_prim, eps_dual, ratio, cur = residuals(x, z, y)
         solved = (prim <= eps_prim) & (dual <= eps_dual)
         prim_inf, dual_inf = infeasibility(x, y, s, cur)
+
+        base_iv = jnp.asarray(cfg.check_every, jnp.int32)
+        if cfg.check_backoff_max > 1:
+            far = (prim > 100.0 * eps_prim) | (dual > 100.0 * eps_dual)
+            iv = jnp.where(
+                far,
+                jnp.minimum(2 * s.interval, cfg.check_backoff_max * base_iv),
+                base_iv,
+            )
+        else:
+            iv = base_iv
+        # never overshoot the iteration cap by more than the final check
+        iv = jnp.maximum(
+            jnp.minimum(iv, cfg.max_iter - (s.it + s.interval)), 1
+        ).astype(jnp.int32)
 
         if cfg.adaptive_rho:
             rho_new = jnp.clip(s.rho * jnp.sqrt(ratio), _RHO_MIN, _RHO_MAX)
@@ -403,7 +420,7 @@ def admm_solve(
             y_prev=s.y,
             rho=rho,
             factor=factor,
-            it=s.it + cfg.check_every,
+            it=s.it + s.interval,
             prim_res=prim,
             dual_res=dual,
             done=solved | prim_inf | dual_inf,
@@ -412,6 +429,7 @@ def admm_solve(
             prev_Ax=cur[0],
             prev_Px=cur[1],
             prev_Aty=cur[2],
+            interval=iv,
         )
 
     # seed the cached matvecs of the initial iterate (one-time sweeps; the
@@ -434,6 +452,7 @@ def admm_solve(
         prev_Ax=cur0[0],
         prev_Px=cur0[1],
         prev_Aty=cur0[2],
+        interval=jnp.asarray(cfg.check_every, jnp.int32),
     )
     s = lax.while_loop(cond, body, init)
 

@@ -233,3 +233,25 @@ def test_f32_polish_recovers_tight_kkt():
     assert err_pol < 5e-5, f"polished f32 error {err_pol:.2e}"
     # ... and strictly beat the unpolished iterate
     assert err_pol <= err_nop
+
+
+def test_check_backoff_solves_same_solution():
+    """check_backoff_max > 1 (geometric termination-check interval while far
+    from tolerance) must reach the same certified solution; iteration count
+    may differ only by later detection."""
+    rng = np.random.default_rng(7)
+    n, m = 20, 40
+    L = rng.standard_normal((n, n))
+    P = jnp.asarray(L @ L.T + 0.1 * np.eye(n))
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    q = jnp.asarray(rng.standard_normal(n))
+    l = jnp.asarray(-1.0 - rng.random(m))
+    u = jnp.asarray(1.0 + rng.random(m))
+    base = solve_dense_qp(P, q, A, l, u, SolverConfig(
+        eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, polish=False))
+    back = solve_dense_qp(P, q, A, l, u, SolverConfig(
+        eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, polish=False,
+        check_backoff_max=8))
+    assert bool(base.solved) and bool(back.solved)
+    np.testing.assert_allclose(np.asarray(back.x), np.asarray(base.x),
+                               rtol=1e-4, atol=1e-6)

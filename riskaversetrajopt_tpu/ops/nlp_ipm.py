@@ -56,6 +56,20 @@ class NLPConfig(NamedTuple):
     # tracks the iterate's actual complementarity) or 'monotone'
     # (Fiacco-McCormick schedule)
     mu_strategy: str = "loqo"
+    # Symmetric Ruiz equilibration sweeps on the augmented KKT matrix before
+    # the LU factorization. The raw system's conditioning (~1e8 on the
+    # hopper) exceeds 1/eps_f32, so single-precision Newton directions are
+    # garbage and the f32 solve wanders into poor local basins; equilibrated
+    # rows/columns recover usable f32 directions. 0 = off (f64 needs none).
+    kkt_ruiz_iters: int = 0
+    # Compensated (double-single) line-search merit: the barrier merit on
+    # the hopper is O(1e5) while meaningful per-step decrements near the
+    # central path are O(1e-3) — far below f32 resolution (~0.01 at that
+    # magnitude), so the f32 Armijo test becomes a coin flip and the solve
+    # stalls on rejected steps. Computes the merit's large sums and the
+    # accept-test DIFFERENCE in ds arithmetic (ops/dsjit). Off by default
+    # (f64 needs none).
+    merit_compensated: bool = False
     # Second-order correction (IPOPT sec 2.4 / Wachter-Biegler eq. 27): when
     # the full trial step is rejected, re-solve the SAME KKT factorization
     # with the equality rhs replaced by the SOC residual
@@ -171,9 +185,16 @@ def solve_nlp(
     g_L = jnp.where(jnp.abs(g_L) < 1e14, row_scale * g_L, g_L)
     g_U = jnp.where(jnp.abs(g_U) < 1e14, row_scale * g_U, g_U)
 
-    # fold box bounds in as identity rows after the g rows
+    # fold box bounds in as identity rows after the g rows. The stack is
+    # pinned to Z0's dtype: an f32 solve with f64-valued problem constants
+    # in the callbacks (possible when x64 is enabled globally) must not
+    # silently promote — mixed dtypes break the LU solve and would hide
+    # the f32 code path under f64 arithmetic.
+    _f_any = f_fn
+    f_fn = lambda Z: jnp.asarray(_f_any(Z), dtype)  # noqa: E731
+
     def c_fn(Z):
-        return jnp.concatenate([g_fn(Z), Z])
+        return jnp.concatenate([g_fn(Z).astype(dtype), Z])
 
     c_L = jnp.concatenate([g_L, x_L]).astype(dtype)
     c_U = jnp.concatenate([g_U, x_U]).astype(dtype)
@@ -261,17 +282,31 @@ def solve_nlp(
         return c, J, r_eq, r_l, r_u, r_d, prim, dual, comp
 
     def merit(Z, s_l, s_u, mu, nu):
+        """Returns ((phi_hi, phi_lo), theta). In the default mode phi_lo is
+        zero; with cfg.merit_compensated the merit's sums are accumulated in
+        double-single so the line search can resolve decrements ~eps^2 of
+        the merit magnitude (see NLPConfig)."""
         c = c_fn(Z)
-        barrier = -mu * (
-            jnp.sum(jnp.where(has_l, jnp.log(jnp.maximum(s_l, 1e-300)), 0.0))
-            + jnp.sum(jnp.where(has_u, jnp.log(jnp.maximum(s_u, 1e-300)), 0.0))
-        )
-        theta = (
-            jnp.sum(jnp.abs(c[:n_eq] - b_eq))
-            + jnp.sum(jnp.abs(jnp.where(has_l, c[n_eq:] - s_l - l_in, 0.0)))
-            + jnp.sum(jnp.abs(jnp.where(has_u, u_in - c[n_eq:] - s_u, 0.0)))
-        )
-        return f_fn(Z) + barrier + nu * theta, theta
+        logs_l = jnp.where(has_l, jnp.log(jnp.maximum(s_l, 1e-300)), 0.0)
+        logs_u = jnp.where(has_u, jnp.log(jnp.maximum(s_u, 1e-300)), 0.0)
+        t_eq = jnp.abs(c[:n_eq] - b_eq)
+        t_l = jnp.abs(jnp.where(has_l, c[n_eq:] - s_l - l_in, 0.0))
+        t_u = jnp.abs(jnp.where(has_u, u_in - c[n_eq:] - s_u, 0.0))
+        if not cfg.merit_compensated:
+            barrier = -mu * (jnp.sum(logs_l) + jnp.sum(logs_u))
+            theta = jnp.sum(t_eq) + jnp.sum(t_l) + jnp.sum(t_u)
+            return (f_fn(Z) + barrier + nu * theta,
+                    jnp.zeros_like(barrier)), theta
+        from riskaversetrajopt_tpu.ops import dsjit as ds
+
+        bh, bl = ds.ds_add(*ds.sum1_ds(logs_l), *ds.sum1_ds(logs_u))
+        bh, bl = ds.ds_scale(bh, bl, -mu)
+        th, tl = ds.ds_add(*ds.sum1_ds(t_eq), *ds.ds_add(
+            *ds.sum1_ds(t_l), *ds.sum1_ds(t_u)))
+        nh, nl = ds.ds_scale(th, tl, nu)
+        ph, pl = ds.ds_add(bh, bl, nh, nl)
+        ph, pl = ds.ds_add(ph, pl, f_fn(Z), jnp.zeros_like(ph))
+        return (ph, pl), th
 
     def body(s: _S):
         c, J, r_eq, r_l, r_u, r_d, prim, dual, comp = kkt_errors(
@@ -320,14 +355,30 @@ def solve_nlp(
         K = K.at[:n, n:].set(J.T)
         K = K.at[n:, :n].set(J)
         K = K.at[n + jnp.arange(m), n + jnp.arange(m)].set(diag_block)
-        lu, piv = jax.scipy.linalg.lu_factor(K)
+        if cfg.kkt_ruiz_iters > 0:
+            # symmetric Ruiz: d K d -> unit row inf-norms (see NLPConfig)
+            d_eq = jnp.ones(n + m, dtype)
+            Ks = K
+            for _ in range(cfg.kkt_ruiz_iters):
+                rn = jnp.max(jnp.abs(Ks), axis=1)
+                d_new = 1.0 / jnp.sqrt(jnp.clip(rn, 1e-12, 1e12))
+                d_eq = d_eq * d_new
+                Ks = (d_new[:, None] * Ks) * d_new[None, :]
+        else:
+            d_eq = None
+            Ks = K
+        lu, piv = jax.scipy.linalg.lu_factor(Ks)
+
+        def lu_apply(r):
+            if d_eq is None:
+                return jax.scipy.linalg.lu_solve((lu, piv), r)
+            # K x = r  <=>  (dKd)(d^-1 x) = d r
+            return d_eq * jax.scipy.linalg.lu_solve((lu, piv), d_eq * r)
 
         def solve_kkt(rhs_full):
-            sol = jax.scipy.linalg.lu_solve((lu, piv), rhs_full)
-            # one step of iterative refinement
-            return sol + jax.scipy.linalg.lu_solve(
-                (lu, piv), rhs_full - K @ sol
-            )
+            sol = lu_apply(rhs_full)
+            # one step of iterative refinement against the ORIGINAL system
+            return sol + lu_apply(rhs_full - K @ sol)
 
         # fraction-to-boundary
         tau_ftb = jnp.maximum(cfg.tau_min, 1.0 - s.mu)
@@ -379,10 +430,18 @@ def solve_nlp(
             slt = s.s_l + a * ds_l_
             sut = s.s_u + a * ds_u_
             phi, theta = merit(Zt, slt, sut, s.mu, nu)
-            finite = jnp.isfinite(phi)
-            # accept on merit decrease or violation decrease
+            finite = jnp.isfinite(phi[0])
+            # accept on merit decrease or violation decrease; the decrement
+            # is formed as a DIFFERENCE so the compensated mode can resolve
+            # it below the f32 resolution of the merit magnitudes
+            if cfg.merit_compensated:
+                from riskaversetrajopt_tpu.ops import dsjit as ds
+
+                dh, _ = ds.ds_add(phi[0], phi[1], -phi0[0], -phi0[1])
+            else:
+                dh = phi[0] - phi0[0]
             ok = finite & (
-                (phi <= phi0 - 1e-8 * a * jnp.abs(phi0))
+                (dh <= -1e-8 * a * jnp.abs(phi0[0]))
                 | (theta <= 0.99 * theta0)
             )
             return ok

@@ -133,3 +133,47 @@ def test_soc_no_regression_on_hopper_baseline():
                     NLPConfig(tol=1e-4, max_iter=60, soc=True))
     assert float(res.prim_res) < 1e-2
     assert bool(jnp.all(jnp.isfinite(res.Z)))
+
+
+def test_f32_kkt_equilibration_keeps_residuals_honest():
+    """In raw f32 the hopper's augmented KKT (cond ~1e8 > 1/eps_f32) yields
+    garbage Newton directions and the barrier solve can certify a spurious
+    point within ~20 iterations. With symmetric Ruiz equilibration
+    (kkt_ruiz_iters) the f32 dual residual stays honest: the solve keeps
+    working instead of falsely declaring convergence."""
+    from riskaversetrajopt_tpu.core.config import HopperScenario
+    from riskaversetrajopt_tpu.models.hopper import HopperModel
+
+    model = HopperModel(HopperScenario())
+    field = model.sample_friction(jax.random.PRNGKey(1), model.M, "baseline")
+    f, g, gL, gU, n_eq, xL, xU = model.make_nlp(field, "baseline", 0.1)
+    Z0 = model.initial_guess(model.M, dtype=jnp.float32)
+    b32 = [a.astype(jnp.float32) for a in (gL, gU, xL, xU)]
+    res = solve_nlp(f, g, b32[0], b32[1], n_eq, b32[2], b32[3], Z0,
+                    NLPConfig(tol=1e-3, max_iter=60, kkt_ruiz_iters=3))
+    assert bool(jnp.all(jnp.isfinite(res.Z)))
+    # the equilibrated solve must not certify a spurious early stationary
+    # point: at 60 iterations the true dual residual is far above tol
+    assert not bool(res.solved)
+    assert float(res.dual_res) > 1e-3
+
+
+def test_compensated_merit_matches_plain_in_x64():
+    """merit_compensated only changes the ARITHMETIC of the line-search
+    accept test; in x64 (where the plain merit is already accurate) the
+    solve trajectory must be unchanged."""
+
+    def f(Z):
+        return (Z[0] - 1.0) ** 2 + (Z[1] - 2.0) ** 2
+
+    def g(Z):
+        return jnp.array([Z[0] ** 2 + Z[1] ** 2])
+
+    kw = dict(g_L=jnp.array([-1e15]), g_U=jnp.array([1.5]), n_eq=0,
+              x_L=jnp.full(2, -1e15), x_U=jnp.full(2, 1e15), Z0=jnp.zeros(2))
+    a = solve_nlp(f, g, cfg=NLPConfig(tol=1e-8, max_iter=100), **kw)
+    b = solve_nlp(f, g, cfg=NLPConfig(tol=1e-8, max_iter=100,
+                                      merit_compensated=True), **kw)
+    assert bool(a.solved) and bool(b.solved)
+    assert int(a.iters) == int(b.iters)
+    np.testing.assert_allclose(np.asarray(a.Z), np.asarray(b.Z), rtol=1e-12)

@@ -154,3 +154,31 @@ def test_hopper_baseline_reaches_feasibility():
     assert bool(jnp.all(jnp.isfinite(res.Z)))
     # no-slip equality holds approximately on stance phases
     assert float(jnp.max(jnp.abs(model.dynamics_defects(xs, us)))) < 1e-2
+
+
+def test_f32_saa_warm_start_two_phase():
+    """TPU-f32 hopper story (no f64 on TPU): the COLD baseline phase in f32
+    falls into a poor local basin of the nonconvex contact problem (tiny
+    jump ~0.03), but the expensive M-scaled SAA phase — warm-started from a
+    converged baseline solution, exactly the reference's two-phase workflow
+    (hopper/README.md:9-25) — certifies in f32 with KKT equilibration at a
+    solution near the x64 one (measured same instance: f32 jumped 0.391 in
+    40 iters vs x64 0.471 in 113; both `solved` at tol 1e-3). The baseline
+    fixture is this solver's own x64 output (jumped 1.053)."""
+    import os
+
+    from riskaversetrajopt_tpu.core.config import HopperScenario
+
+    Zb = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                              "hopper_base_Z.npy"))
+    model = HopperModel(HopperScenario())
+    assert abs(Zb[model.S * model.n_x] - 1.0534) < 1e-2  # converged baseline
+    field = model.sample_friction(jax.random.PRNGKey(0), model.M, "saa")
+    f, g, gL, gU, n_eq, xL, xU = model.make_nlp(field, "saa", 0.3)
+    b32 = [a.astype(jnp.float32) for a in (gL, gU, xL, xU)]
+    res = solve_nlp(f, g, b32[0], b32[1], n_eq, b32[2], b32[3],
+                    jnp.asarray(Zb, jnp.float32),
+                    NLPConfig(tol=1e-3, max_iter=100, kkt_ruiz_iters=3))
+    xs, us, ys, slack, t_risk = model.split_z(res.Z)
+    assert bool(res.solved)
+    assert float(xs[-1, 0]) > 0.3  # stays in the jumping basin

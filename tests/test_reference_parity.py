@@ -229,3 +229,74 @@ def test_drone_golden_trajectory_parity_m1000():
     res = opt.solve(om, alpha=alpha)
     err = ro.l2_error_us(np.asarray(res.us), gold)
     assert err <= 1e-3, f"relative L2 vs reference golden = {err:.3e}"
+
+
+def test_hopper_stack_matches_reference():
+    """Row-level hopper parity against the EXECUTED reference: exec
+    hopper/hopper.py (compute blocks patched off, ipyopt stubbed), inject
+    its np.random-seeded friction field into our model, and assert the full
+    constraint stack g(Z) (reference order hopper.py:486-514), the
+    objective, and the inequality bound tuples match at a perturbed point."""
+    ns = ro.load_reference_script("hopper/hopper.py")
+    from riskaversetrajopt_tpu.core.config import HopperScenario
+    from riskaversetrajopt_tpu.models.hopper import FrictionField, HopperModel
+
+    ours = HopperModel(HopperScenario())
+    M = int(ns.M)
+    assert M == ours.M
+    np.testing.assert_allclose(
+        np.asarray(ours.scn.state_initial), np.asarray(ns.state_initial)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.scn.state_final), np.asarray(ns.state_final)
+    )
+    alpha = 0.3
+    ref = ns.Model(M, "saa", alpha)
+    field = FrictionField(
+        jnp.asarray(ns.intensities), jnp.asarray(ns.thetas),
+        jnp.asarray(ns.taus),
+    )
+    rng = np.random.default_rng(0)
+    Z = jnp.asarray(
+        np.asarray(ours.initial_guess(M))
+        + 0.01 * rng.standard_normal(ours.num_vars)
+    )
+
+    # NOTE: the reference's slip_risk head row uses module-global alpha-free
+    # M*alpha via the instance attribute (hopper.py:350-367)
+    g_ref = jnp.concatenate([
+        ref.dynamics_constraints(Z),
+        ref.initial_constraints(Z),
+        ref.final_constraints(Z),
+        ref.no_slip_constraints(Z),
+        ref.contact_constraints(Z),
+        ref.leg_over_ground_constraints(Z),
+        ref.slip_risk_constraints(Z),
+        ref.control_constraints(Z)[0],
+        ref.slack_constraints(Z)[0],
+        ref.length_and_speed_constraints(Z)[0],
+    ])
+    g_ours = ours.g_all(Z, field, "saa", alpha)
+    assert g_ours.shape == g_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_ref), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(float(ours.f(Z)), float(ref.f(Z)), rtol=1e-12)
+
+    # inequality bound tuples for the bounded families
+    gL, gU, n_eq, xL, xU = ours.bounds("saa", M)
+    n_over = len(ours.flight_idx)
+    n_risk = 1 + M + M * ours.num_contacts + 1
+    o = n_eq + n_over + n_risk
+    n_ctrl = ours.S * ours.n_u
+    _, cl, cu = ref.control_constraints(Z)
+    np.testing.assert_allclose(np.asarray(gL[o:o + n_ctrl]), np.asarray(cl))
+    np.testing.assert_allclose(np.asarray(gU[o:o + n_ctrl]), np.asarray(cu))
+    o += n_ctrl
+    _, sl, su = ref.slack_constraints(Z)
+    np.testing.assert_allclose(np.asarray(gL[o:o + 1]), np.asarray(sl))
+    np.testing.assert_allclose(np.asarray(gU[o:o + 1]), np.asarray(su))
+    o += 1
+    _, ll, lu = ref.length_and_speed_constraints(Z)
+    np.testing.assert_allclose(np.asarray(gL[o:]), np.asarray(ll))
+    np.testing.assert_allclose(np.asarray(gU[o:]), np.asarray(lu))

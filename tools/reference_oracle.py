@@ -389,6 +389,33 @@ def install_osqp_stub():
     return mod
 
 
+def install_ipyopt_stub():
+    """Minimal ipyopt module so hopper/hopper.py and drone/drone_gaussian.py
+    can be exec'd for define-phase parity (the compute blocks are patched
+    off; only the import must succeed). Problem records its definition and
+    solve() returns the start point unchanged with status 0."""
+    if "ipyopt" in sys.modules:
+        return sys.modules["ipyopt"]
+    mod = types.ModuleType("ipyopt")
+
+    class Problem:
+        def __init__(self, *args, **kwargs):
+            self.args = args
+            self.kwargs = kwargs
+
+        def set(self, **kwargs):
+            pass
+
+        def solve(self, z0, *a, **k):
+            import numpy as _np
+
+            return _np.asarray(z0), 0.0, 0
+
+    mod.Problem = Problem
+    sys.modules["ipyopt"] = mod
+    return mod
+
+
 # ---------------------------------------------------------------------------
 # Reference script loading
 # ---------------------------------------------------------------------------
@@ -444,6 +471,7 @@ def load_reference_script(rel_path: str):
     matplotlib.use("Agg", force=True)
     _install_jax_config_shim()
     install_osqp_stub()
+    install_ipyopt_stub()
     path = REFERENCE_ROOT / rel_path
     src = _patch_source(path.read_text())
     moddir = str(path.parent)

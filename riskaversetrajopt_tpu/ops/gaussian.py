@@ -60,7 +60,16 @@ def propagate_covariance(
         Sigma_next = A @ Sigma @ A.T + Sigma_w
         for jac, var in zip(param_jacs, param_vars):
             b_d = dt * jac(x, u)
-            Sigma_next = Sigma_next + var * jnp.outer(b_d, b_d)
+            # REFERENCE QUIRK REPRODUCED DELIBERATELY (do not "fix"): the
+            # reference writes `var * b_dm @ b_dm.T`
+            # (drone_gaussian.py:206-211, driving_gaussian.py:206-211) with
+            # b_dm the 1-D jacfwd of the drift w.r.t. the SCALAR parameter —
+            # for 1-D arrays `.T` is a no-op and `@` is a DOT PRODUCT, so
+            # the intended rank-1 outer product var*b b^T degenerates to the
+            # scalar var*||b||^2 broadcast-ADDED TO EVERY ENTRY of Sigma.
+            # Verified by executed-reference row parity
+            # (tests/test_reference_parity.py::test_drone_gaussian_stack_*).
+            Sigma_next = Sigma_next + var * jnp.dot(b_d, b_d)
         return Sigma_next, Sigma_next
 
     _, Sigmas_tail = lax.scan(step, Sigma0, (xs[:-1], us))

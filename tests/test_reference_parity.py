@@ -300,3 +300,78 @@ def test_hopper_stack_matches_reference():
     _, ll, lu = ref.length_and_speed_constraints(Z)
     np.testing.assert_allclose(np.asarray(gL[o:]), np.asarray(ll))
     np.testing.assert_allclose(np.asarray(gU[o:]), np.asarray(lu))
+
+
+def test_drone_gaussian_stack_matches_reference():
+    """Executed-reference parity for the drone Gaussian NLP define phase:
+    g(Z) in reference row order [final | obs | state-box hi/lo | control+
+    risk rows] (drone_gaussian.py:412-419, 352-382) and the objective must
+    match our planner at a perturbed point — this exercises the mean
+    rollout, the iid-mass covariance recursion, the quantile-padded
+    obstacle rows with radius back-off, and the risk-allocation rows."""
+    ns = ro.load_reference_script("drone/drone_gaussian.py")
+    from riskaversetrajopt_tpu.core.config import DroneScenario
+    from riskaversetrajopt_tpu.models.drone_gaussian import GaussianDronePlanner
+
+    alpha = 0.2
+    p = GaussianDronePlanner(DroneScenario(), alpha=alpha)
+    ref = ns.Model(S=ns.S, alpha=alpha)
+    rng = np.random.default_rng(3)
+    Z = jnp.asarray(
+        np.asarray(p.initial_guess(us_init=None))
+        + np.concatenate([0.1 * rng.standard_normal(p.n_us),
+                          0.001 * rng.random(p.n_alpha)])
+    )
+    g_final_ref, g_obs_ref = ref.get_all_state_constraints(Z)
+    g_ctrl_ref, _, _ = ref.get_control_and_risk_constraints(Z)
+    g_ref = jnp.concatenate([g_final_ref, g_obs_ref, g_ctrl_ref])
+    g_ours = p.g(Z)
+    assert g_ours.shape == g_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_ref), rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(float(p.f(Z)), float(ref.f(Z)), rtol=1e-10)
+
+
+def test_car_gaussian_coeffs_match_reference():
+    """Executed-reference parity for the car Gaussian QP define phase:
+    the linearized (final | separation) constraint blocks over (us, alpha_t)
+    and their rhs (driving_gaussian.py:303-354) must match our build_qp
+    rows (ungated iteration)."""
+    ns = ro.load_reference_script("car/driving_gaussian.py")
+    from riskaversetrajopt_tpu.core.config import CarScenario
+    from riskaversetrajopt_tpu.models.car_gaussian import GaussianCarPlanner
+
+    alpha = 0.1
+    p = GaussianCarPlanner(CarScenario(), alpha=alpha)
+    ref = ns.Model("gaussian", alpha)
+    rng = np.random.default_rng(4)
+    us_mat = jnp.asarray(1e-2 + 0.05 * rng.standard_normal((p.S, p.n_u)))
+    alphas = jnp.asarray((alpha / p.S) * (1.0 + 0.1 * rng.random(p.S)))
+
+    (F_ref, f_low, f_up, G_ref, g_up_ref) = ref.get_all_constraints_coeffs(
+        us_mat, alphas
+    )
+    P, q, A, l, u = p.build_qp(us_mat, alphas, jnp.asarray(3))
+    n_us = p.n_u * p.S
+    # final rows: Jacobian over (us | alphas), rhs two-sided
+    np.testing.assert_allclose(
+        np.asarray(A[:4, : n_us + p.S]), np.asarray(F_ref),
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(np.asarray(l[:4]), np.asarray(f_low),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(u[:4]), np.asarray(f_up),
+                               rtol=1e-9, atol=1e-11)
+    # separation rows
+    np.testing.assert_allclose(
+        np.asarray(A[4 : 4 + p.S, : n_us + p.S]), np.asarray(G_ref),
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(u[4 : 4 + p.S]), np.asarray(g_up_ref),
+        rtol=1e-9, atol=1e-11,
+    )
+    # the unused trailing slack column is zero in every row (layout parity,
+    # driving_gaussian.py:363-366)
+    assert float(jnp.max(jnp.abs(A[: 4 + p.S, -1]))) == 0.0

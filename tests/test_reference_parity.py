@@ -375,3 +375,47 @@ def test_car_gaussian_coeffs_match_reference():
     # the unused trailing slack column is zero in every row (layout parity,
     # driving_gaussian.py:363-366)
     assert float(jnp.max(jnp.abs(A[: 4 + p.S, -1]))) == 0.0
+
+
+def test_drone_mc_oracle_matches_reference():
+    """Executed-reference parity for the ACCEPTANCE ORACLE itself: the
+    reference's Monte-Carlo block (drone_risk.py:643-725) is exec'd far
+    enough to capture its verification, AVaR-QP and cost functions
+    (salvaged past its own results-FileNotFoundError); on identical fresh
+    samples and a common control sequence, our monte_carlo must reproduce
+    the safe-fraction (exact), the max-constraint statistics, the AVaR
+    (reference solves its estimation QP through the stub OSQP engine) and
+    the control cost."""
+    ns = ro.load_reference_mc("drone/drone_risk.py", mc_M=500)
+    from riskaversetrajopt_tpu.core.config import DroneScenario, SCPConfig
+    from riskaversetrajopt_tpu.scp.driver import SAATrajOpt
+
+    model = DroneModel(DroneScenario())
+    opt = SAATrajOpt(model, method="saa")
+    M_mc = 500
+    om = opt.sample(jax.random.PRNGKey(7), M=M_mc)
+    alpha = 0.2
+    rng = np.random.default_rng(9)
+    us = jnp.asarray(
+        np.asarray(model.initial_guess()) * (2.0 + rng.random((model.S, 1)))
+    )
+
+    us_rep = jnp.repeat(us[None], M_mc, axis=0)
+    B_vec, cons_vec = jax.vmap(
+        ns.monte_carlo_no_collisions_constraint_verification
+    )(us_rep, om.mass, om.dWs, om.obs_Q)
+    avar_ref = ns.monte_carlo_avar(np.asarray(cons_vec), alpha)
+    cost_ref = ns.monte_carlo_cost(us)
+
+    mc = opt.monte_carlo(us, om, alpha)
+    np.testing.assert_allclose(
+        float(mc["safe_frac"]), float(jnp.mean(B_vec)), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(mc["max_constraints"]), np.asarray(cons_vec),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(float(mc["avar"]), float(avar_ref),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(mc["cost"]), float(cost_ref),
+                               rtol=1e-10)

@@ -489,6 +489,43 @@ def load_reference_script(rel_path: str):
 # ---------------------------------------------------------------------------
 
 
+def load_reference_mc(rel_path: str, mc_M: int = 2000):
+    """Exec a reference script far enough INTO its Monte-Carlo validation
+    block to capture the MC oracle functions (monte_carlo_cost,
+    monte_carlo_no_collisions_constraint_verification / the car equivalent,
+    monte_carlo_avar). The block's results-file loop raises the reference's
+    own FileNotFoundError guidance (car/driving.py:724-728) — the partial
+    module namespace retains everything defined before the raise. The MC
+    sample count is patched down from 10000 to `mc_M` to keep the exec
+    cheap; callers pass their own sample arrays to the captured functions."""
+    key = (rel_path, "mc", mc_M)
+    if key in _loaded:
+        return _loaded[key]
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    _install_jax_config_shim()
+    install_osqp_stub()
+    install_ipyopt_stub()
+    path = REFERENCE_ROOT / rel_path
+    src = _patch_source(path.read_text())
+    src = src.replace(
+        "B_validate_monte_carlo = False", "B_validate_monte_carlo = True"
+    )
+    src = re.sub(r"^(\s+)M = 10000$", rf"\1M = {mc_M}", src, flags=re.M)
+    moddir = str(path.parent)
+    if moddir not in sys.path:
+        sys.path.insert(0, moddir)
+    mod = types.ModuleType("reference_mc_" + path.stem)
+    mod.__file__ = str(path)
+    try:
+        exec(compile(src, str(path), "exec"), mod.__dict__)
+    except FileNotFoundError:
+        pass  # expected: the MC loop needs results/ files we don't create
+    _loaded[key] = mod
+    return mod
+
+
 def set_reference_M(ns, M: int):
     """The reference scripts size their packing from the module-global M
     (drone_risk.py:331-333, driving.py:335-337), not from the sampled

@@ -419,3 +419,41 @@ def test_drone_mc_oracle_matches_reference():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(float(mc["cost"]), float(cost_ref),
                                rtol=1e-10)
+
+
+def test_drone_main_plot_euclidean_mc_matches_reference():
+    """Executed-reference parity for the paper-figure workload's Euclidean
+    MC verification (drone_main_plot.py:633-652): the sqrt obstacle
+    statistic, the raw-max safe test at OSQP_TOL + 1e-6, and the sort-based
+    VaR estimator must match ours on identical samples."""
+    ns = ro.load_reference_mc("drone/drone_main_plot.py", mc_M=400)
+    from riskaversetrajopt_tpu.ops.cvar import var_sorted
+    from riskaversetrajopt_tpu.ops.rollout import rollout_batch
+
+    model = DroneModel(DroneScenario())
+    M_mc = 400
+    om = model.sample(jax.random.PRNGKey(11), M=M_mc, method="saa")
+    alpha = 0.1
+    rng = np.random.default_rng(12)
+    us = jnp.asarray(
+        np.asarray(model.initial_guess()) * (2.0 + rng.random((model.S, 1)))
+    )
+    us_rep = jnp.repeat(us[None], M_mc, axis=0)
+    _, B_ref, cons_ref = jax.vmap(
+        ns.monte_carlo_no_collisions_constraint_verification
+    )(us_rep, om.mass, om.dWs, om.obs_Q)
+
+    xs = rollout_batch(model, us, om)
+    cons_ours = jax.vmap(
+        lambda x, o: jnp.max(model.ineq_constraints_euclidean(x, o))
+    )(xs, om)
+    np.testing.assert_allclose(
+        np.asarray(cons_ours), np.asarray(cons_ref), rtol=1e-9, atol=1e-12
+    )
+    safe_ours = cons_ours <= model.scn.osqp_tol + 1e-6
+    assert bool(jnp.all(safe_ours == B_ref))
+    np.testing.assert_allclose(
+        float(var_sorted(cons_ours, alpha)),
+        float(ns.monte_carlo_var(np.asarray(cons_ref), alpha)),
+        rtol=1e-12,
+    )

@@ -40,7 +40,7 @@ Operator interface (all jit-traceable):
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -168,25 +168,24 @@ class _State(NamedTuple):
     x: jnp.ndarray
     z: jnp.ndarray
     y: jnp.ndarray
-    x_prev: jnp.ndarray
-    y_prev: jnp.ndarray
-    rho: jnp.ndarray  # scalar base rho (adapted)
-    factor: Any
+    rho: jnp.ndarray  # scalar base rho (adapted at epoch boundaries)
     it: jnp.ndarray
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
     done: jnp.ndarray
     prim_inf: jnp.ndarray
     dual_inf: jnp.ndarray
-    # UNSCALED matvecs of (x_prev, y_prev) cached from the previous
-    # termination check, so the infeasibility-certificate deltas
-    # (A^T dy, P dx, A dx — linear in the iterates) come from vector
-    # subtractions instead of three extra full-operator sweeps per check
-    prev_Ax: jnp.ndarray
-    prev_Px: jnp.ndarray
-    prev_Aty: jnp.ndarray
     # iterations until the next termination check (cfg.check_backoff_max)
     interval: jnp.ndarray
+    # adaptive-rho epoch handshake: the inner (fixed-rho) loop exits with
+    # refactor=True and the requested rho in rho_next; the outer loop
+    # refactorizes and re-enters. Keeping factorization OUT of the hot
+    # while body matters: a lax.cond whose branch runs full operator
+    # sweeps inside the iterating while body doubles the per-iteration
+    # cost of the WHOLE loop on the TPU toolchain (measured 243 vs 123
+    # us/iter at M=1000, tools/bisect_iter3.py / bisect_iter4.py).
+    refactor: jnp.ndarray
+    rho_next: jnp.ndarray
 
 
 def admm_solve(
@@ -268,10 +267,7 @@ def admm_solve(
         return x_next, z_next, y_next
 
     def residuals(x, z, y):
-        """Unscaled residuals + eps thresholds + scaled-ratio for rho.
-
-        Also returns the unscaled matvecs (A x_u, P x_u, A^T y_u) for the
-        delta-based infeasibility certificates."""
+        """Unscaled residuals + eps thresholds + scaled-ratio for rho."""
         Ax_s = sops.matvec_A(x)
         Px_s = sops.matvec_P(x)
         Aty_s = sops.rmatvec_A(y)
@@ -301,16 +297,12 @@ def admm_solve(
             + 1e-30
         )
         ratio = (prim_s / denom_p) / (dual_s / denom_d + 1e-30)
-        return prim, dual, eps_prim, eps_dual, ratio, (Ax, Px, Aty)
+        return prim, dual, eps_prim, eps_dual, ratio
 
-    def cond(s: _State):
-        return jnp.logical_not(s.done) & (s.it < cfg.max_iter)
-
-    def certificate_terms(dy, dx, Atdy, Pdx, Adx, eps_scale=1.0):
+    def certificate_terms(dy, dx, Atdy, Pdx, Adx):
         """OSQP infeasibility-certificate conditions (Stellato et al.
-        sec 3.4) given the delta matvecs, all unscaled. eps_scale widens
-        the thresholds for the cheap prescreen."""
-        eps_inf = 1e-4 * eps_scale
+        sec 3.4) given the delta matvecs, all unscaled."""
+        eps_inf = 1e-4
         dy_norm = jnp.max(jnp.abs(dy))
         sup = jnp.sum(
             jnp.where(dy > 0, jnp.where(jnp.isfinite(u), u, jnp.inf) * dy, 0.0)
@@ -343,118 +335,135 @@ def admm_solve(
         )
         return prim_inf, dual_inf
 
-    def infeasibility(x, y, s: "_State", cur):
-        """Two-stage certificates: a FREE prescreen from cached matvec
-        deltas (the certificate matvecs are linear in the iterates, so
-        A^T dy = A^T y - A^T y_prev etc. are vector subtractions of
-        quantities the termination check already computes), then — only if
-        the widened thresholds fire — an exact confirmation with real
-        operator sweeps at the original thresholds. The difference form
-        carries O(eps*|A^T y|) rounding noise, so the prescreen is never
-        trusted to DECLARE infeasibility, only to gate the exact check."""
+    def infeasibility(x, y, s: "_State"):
+        """Exact OSQP certificates from the between-check deltas, computed
+        UNCONDITIONALLY at every termination check.
+
+        A two-stage design (free prescreen from cached matvec deltas +
+        lax.cond-gated exact confirmation) was tried and REMOVED: on this
+        TPU toolchain a lax.cond whose branch contains full operator
+        sweeps, placed inside the solve loop's while body, doubles the
+        per-iteration cost of the entire loop even when the branch never
+        executes (measured 243 vs 123 us/iter at M=1000,
+        tools/bisect_iter3.py / bisect_iter4.py — the conditional defeats
+        the compiler's buffer/pipeline scheduling of the hot G-streaming
+        ops). The three explicit sweeps per check amortize to ~2 us per
+        ADMM iteration and are effectively free."""
         dy = (y - s.y) * E / c  # unscaled dual delta
         dx = (x - s.x) * D  # unscaled primal delta
-        Ax, Px, Aty = cur
-        p_scr, d_scr = certificate_terms(
-            dy, dx, Aty - s.prev_Aty, Px - s.prev_Px, Ax - s.prev_Ax,
-            eps_scale=10.0,
+        return certificate_terms(
+            dy, dx, ops.rmatvec_A(dy), ops.matvec_P(dx), ops.matvec_A(dx)
         )
 
-        def exact():
-            return certificate_terms(
-                dy, dx, ops.rmatvec_A(dy), ops.matvec_P(dx), ops.matvec_A(dx)
+    def make_body(factor):
+        """Inner fixed-rho loop body; `factor` is loop-invariant so the
+        compiler can pipeline the G-streaming iteration without the
+        carried-factor copies a conditional refactorization would force."""
+
+        def body(s: _State):
+            def inner(j, xzy):
+                x, z, y = xzy
+                refine_now = ((s.it + j) % period == 0) if two_path else None
+                return one_iter(x, z, y, s.rho, factor, refine_now)
+
+            x, z, y = lax.fori_loop(0, s.interval, inner, (s.x, s.z, s.y))
+            prim, dual, eps_prim, eps_dual, ratio = residuals(x, z, y)
+            solved = (prim <= eps_prim) & (dual <= eps_dual)
+            prim_inf, dual_inf = infeasibility(x, y, s)
+
+            base_iv = jnp.asarray(cfg.check_every, jnp.int32)
+            if cfg.check_backoff_max > 1:
+                far = (prim > 100.0 * eps_prim) | (dual > 100.0 * eps_dual)
+                iv = jnp.where(
+                    far,
+                    jnp.minimum(
+                        2 * s.interval, cfg.check_backoff_max * base_iv
+                    ),
+                    base_iv,
+                )
+            else:
+                iv = base_iv
+            # never overshoot the iteration cap by more than the final check
+            iv = jnp.maximum(
+                jnp.minimum(iv, cfg.max_iter - (s.it + s.interval)), 1
+            ).astype(jnp.int32)
+
+            if cfg.adaptive_rho:
+                rho_new = jnp.clip(
+                    s.rho * jnp.sqrt(ratio), _RHO_MIN, _RHO_MAX
+                )
+                refactor = (
+                    ((rho_new > 5.0 * s.rho) | (rho_new < s.rho / 5.0))
+                    & jnp.logical_not(solved)
+                )
+            else:
+                rho_new = s.rho
+                refactor = jnp.asarray(False)
+
+            return _State(
+                x=x,
+                z=z,
+                y=y,
+                rho=s.rho,
+                it=s.it + s.interval,
+                prim_res=prim,
+                dual_res=dual,
+                done=solved | prim_inf | dual_inf,
+                prim_inf=prim_inf,
+                dual_inf=dual_inf,
+                interval=iv,
+                refactor=refactor,
+                rho_next=rho_new,
             )
 
-        return lax.cond(
-            p_scr | d_scr,
-            exact,
-            lambda: (jnp.asarray(False), jnp.asarray(False)),
+        return body
+
+    def inner_cond(s: _State):
+        return (
+            jnp.logical_not(s.done)
+            & jnp.logical_not(s.refactor)
+            & (s.it < cfg.max_iter)
         )
 
-    def body(s: _State):
-        def inner(j, xzy):
-            x, z, y = xzy
-            refine_now = ((s.it + j) % period == 0) if two_path else None
-            return one_iter(x, z, y, s.rho, s.factor, refine_now)
-
-        x, z, y = lax.fori_loop(0, s.interval, inner, (s.x, s.z, s.y))
-        prim, dual, eps_prim, eps_dual, ratio, cur = residuals(x, z, y)
-        solved = (prim <= eps_prim) & (dual <= eps_dual)
-        prim_inf, dual_inf = infeasibility(x, y, s, cur)
-
-        base_iv = jnp.asarray(cfg.check_every, jnp.int32)
-        if cfg.check_backoff_max > 1:
-            far = (prim > 100.0 * eps_prim) | (dual > 100.0 * eps_dual)
-            iv = jnp.where(
-                far,
-                jnp.minimum(2 * s.interval, cfg.check_backoff_max * base_iv),
-                base_iv,
-            )
-        else:
-            iv = base_iv
-        # never overshoot the iteration cap by more than the final check
-        iv = jnp.maximum(
-            jnp.minimum(iv, cfg.max_iter - (s.it + s.interval)), 1
-        ).astype(jnp.int32)
-
-        if cfg.adaptive_rho:
-            rho_new = jnp.clip(s.rho * jnp.sqrt(ratio), _RHO_MIN, _RHO_MAX)
-            do_update = (
-                ((rho_new > 5.0 * s.rho) | (rho_new < s.rho / 5.0))
-                & jnp.logical_not(solved)
-            )
-            rho = jnp.where(do_update, rho_new, s.rho)
-            factor = lax.cond(
-                do_update,
-                lambda: sops.factorize(rho_vector(ls, us, rho), sigma_vec),
-                lambda: s.factor,
-            )
-        else:
-            rho, factor = s.rho, s.factor
-
-        return _State(
-            x=x,
-            z=z,
-            y=y,
-            x_prev=s.x,
-            y_prev=s.y,
-            rho=rho,
-            factor=factor,
-            it=s.it + s.interval,
-            prim_res=prim,
-            dual_res=dual,
-            done=solved | prim_inf | dual_inf,
-            prim_inf=prim_inf,
-            dual_inf=dual_inf,
-            prev_Ax=cur[0],
-            prev_Px=cur[1],
-            prev_Aty=cur[2],
-            interval=iv,
-        )
-
-    # seed the cached matvecs of the initial iterate (one-time sweeps; the
-    # per-check infeasibility deltas subtract against these)
-    *_, cur0 = residuals(x, z, y)
     init = _State(
         x=x,
         z=z,
         y=y,
-        x_prev=x,
-        y_prev=y,
         rho=rho0,
-        factor=factor0,
         it=jnp.zeros((), jnp.int32),
         prim_res=jnp.asarray(jnp.inf, dtype),
         dual_res=jnp.asarray(jnp.inf, dtype),
         done=jnp.asarray(False),
         prim_inf=jnp.asarray(False),
         dual_inf=jnp.asarray(False),
-        prev_Ax=cur0[0],
-        prev_Px=cur0[1],
-        prev_Aty=cur0[2],
         interval=jnp.asarray(cfg.check_every, jnp.int32),
+        refactor=jnp.asarray(False),
+        rho_next=rho0,
     )
-    s = lax.while_loop(cond, body, init)
+
+    if cfg.adaptive_rho:
+        # Two-level loop: the outer body refactorizes (unconditionally —
+        # it only runs at rho-epoch boundaries) and the inner while
+        # iterates at fixed (rho, factor). Same update schedule as the
+        # former cond-refactorize-in-body form, at most one extra
+        # factorization total, and the hot loop stays conditional-free.
+        def outer_cond(c):
+            s, _ = c
+            return jnp.logical_not(s.done) & (s.it < cfg.max_iter)
+
+        def outer_body(c):
+            s, factor = c
+            s = lax.while_loop(inner_cond, make_body(factor), s)
+            rho2 = jnp.where(s.refactor, s.rho_next, s.rho)
+            factor2 = sops.factorize(rho_vector(ls, us, rho2), sigma_vec)
+            return (
+                s._replace(rho=rho2, refactor=jnp.asarray(False)),
+                factor2,
+            )
+
+        s, _ = lax.while_loop(outer_cond, outer_body, (init, factor0))
+    else:
+        s = lax.while_loop(inner_cond, make_body(factor0), init)
 
     # unscale
     x_u = D * s.x

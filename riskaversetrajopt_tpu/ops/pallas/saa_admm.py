@@ -1031,10 +1031,19 @@ def solve_saa_qp_pallas(
     )
 
     xb, zb, yb = state_to_flat(p, state, st, d)
+    x_u = D * xb
+    y_u = E * yb / c_cost
+    z_u = zb / E
+    if cfg.polish:
+        # same accept-only-if-better active-set polish as the XLA path
+        # (ops/admm.py:_polish) — runs outside the kernel on the unscaled
+        # iterate, so fused-backend solves are apples-to-apples with the
+        # default backend under polish-enabled configs
+        x_u, y_u, z_u = admm_mod._polish(ops, q, l, u, x_u, y_u, z_u, cfg)
     return QPSolution(
-        x=D * xb,
-        y=E * yb / c_cost,
-        z=zb / E,
+        x=x_u,
+        y=y_u,
+        z=z_u,
         iters=iters,
         prim_res=prim,
         dual_res=dual,

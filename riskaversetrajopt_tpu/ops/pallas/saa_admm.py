@@ -932,7 +932,12 @@ def solve_saa_qp_pallas(
 
     d = kernel_dims(st, TM)
     dtype = jnp.float32
-    ops = SAAQPOps(st, data, scp_iter)
+    # mirror solve_saa_qp's construction so the out-of-kernel pieces (polish
+    # KKT solves, residual sweeps) honor cfg's refinement knobs (ADVICE r2)
+    ops = SAAQPOps(
+        st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters,
+        kkt_refine_mode=getattr(cfg, "kkt_refine_mode", "true"),
+    )
     p_diag, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)
     scaling = admm_mod.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters)

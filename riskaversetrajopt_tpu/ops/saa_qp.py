@@ -40,6 +40,7 @@ from jax import lax
 
 from riskaversetrajopt_tpu.core.config import SCPConfig, SolverConfig
 from riskaversetrajopt_tpu.ops import admm
+from riskaversetrajopt_tpu.ops import dsjit
 from riskaversetrajopt_tpu.ops.rollout import SampleLinearization
 
 
@@ -209,7 +210,8 @@ class SAAQPOps:
     [final | cvar | y-rows | sample blocks | slack | control]."""
 
     def __init__(self, st: SAAQPStatic, data: SAAQPData, scp_iter,
-                 kkt_refine_iters=1, kkt_refine_mode="true"):
+                 kkt_refine_iters=1, kkt_refine_mode="true",
+                 factorize_compensated=None):
         # kkt_refine_mode: residual operator for the in-iteration KKT
         # refinement. "true" recomputes N x through matvec_A/rmatvec_A — two
         # extra G-sweeps per pass, i.e. it doubles the HBM traffic of the
@@ -217,9 +219,17 @@ class SAAQPOps:
         # roundoff and the factor-formation (einsum-accumulation) error.
         # "factored" computes the residual against the STORED Schur blocks
         # (N_vv, C, D, beta): O(M*(n+2)) traffic (~0.25 MB vs 14.4 MB),
-        # corrects the solve roundoff only. Which error dominates the
-        # warm-start consistency benefit is an empirical question — the
-        # bench A/Bs the two on hardware.
+        # corrects the solve roundoff only. With factorize_compensated the
+        # stored blocks are formed to a few ulps (per-sample f32 contraction
+        # over K, then double-single pairwise reduction over the M axis —
+        # ops/dsjit.py), so "factored" matches "true" up to the
+        # residual-evaluation noise both modes share — at half the
+        # per-iteration HBM traffic (2 G-sweeps instead of 4). Round-2
+        # hardware measured "factored" SLOWER than "true"; that was with
+        # UNcompensated formation (f32 einsum over M*K=63000 terms, ~3e-5
+        # relative error) which the factored residual cannot see.
+        # factorize_compensated: None = auto (on for f32, off under x64
+        # where plain accumulation is already ~1e-13).
         self.st = st
         self.kkt_refine_mode = kkt_refine_mode
         if st.sample_pin is not None:
@@ -229,6 +239,9 @@ class SAAQPOps:
             )
         self.data = data
         self.dtype = data.G.dtype
+        if factorize_compensated is None:
+            factorize_compensated = self.dtype == jnp.float32
+        self.factorize_compensated = factorize_compensated
         self.m = jnp.asarray(st.row_scale, self.dtype)
         self.scales = _row_scales(st, scp_iter, self.dtype)
         self.p_diag, _ = build_objective(st, data)
@@ -384,25 +397,48 @@ class SAAQPOps:
         wG = self._pin(g2 * rho_G)  # (M, K)
         rowsum_wG = jnp.sum(wG, axis=1)  # (M,)
 
+        # Compensated formation: every reduction over the M sample axis goes
+        # through a double-single pairwise sum (ops/dsjit.py). The per-sample
+        # contractions over K stay plain f32 (K ~ 63 terms, a-few-ulp error);
+        # the M = 1000-term accumulation — the ~3e-5-relative error the
+        # "factored" refinement mode cannot observe — is what compensation
+        # removes. Cost: one (M, n, n) intermediate + log2(M) folds, paid only
+        # at refactorization epochs.
+        comp = self.factorize_compensated
+
+        def msum(x):
+            """Sum over the leading M axis (compensated when enabled)."""
+            if comp:
+                return dsjit.ds_round(*dsjit.sum1_ds(x, axis=0))
+            return jnp.sum(x, axis=0)
+
         # --- y block ---
         D = sigma_y + rho_y * sc.y**2 + sc.gy**2 * rowsum_wG  # (M,)
         beta = rho_c * sc.c**2
 
         # --- coupled block N_vv (v = [u, s, t]) ---
         # uu: c*P_u + sigma_u + F^T Rf F + sum_i G_i^T diag(wG_i) G_i + rho_u
-        B = jnp.einsum(
-            "mkn,mk,mkp->np", data.G, wG, data.G,
-            precision=lax.Precision.HIGHEST,
-        )
+        if comp:
+            B = msum(jnp.einsum(
+                "mkn,mk,mkp->mnp", data.G, wG, data.G,
+                precision=lax.Precision.HIGHEST,
+            ))
+        else:
+            B = jnp.einsum(
+                "mkn,mk,mkp->np", data.G, wG, data.G,
+                precision=lax.Precision.HIGHEST,
+            )
         N_uu = (
             jnp.diag(cost_scale * self.p_diag[:n] + sigma_u + rho_u)
             + data.F.T @ (rho_f[:, None] * data.F)
             + B
         )
-        # u-t coupling: sum rows of sample blocks: -gy * sum_i G_i^T wG_i
-        Gw = jnp.einsum(
-            "mkn,mk->n", data.G, wG, precision=lax.Precision.HIGHEST
-        )  # sum_i G_i^T wG_i 1
+        # per-sample rows G_i^T wG_i (M, n): reduced over M for the u-t
+        # coupling, kept per-sample as the y-v coupling C_u below
+        GtwG = jnp.einsum(
+            "mkn,mk->mn", data.G, wG, precision=lax.Precision.HIGHEST
+        )
+        Gw = msum(GtwG)  # sum_i G_i^T wG_i 1
         N_ut = -sc.gy * Gw  # (n,)
         N_us = jnp.zeros(n, dtype)
         # ss: sigma_s + c*P_ss + sum_i rho_y sc_y^2 + rho_s sc_s^2 + beta
@@ -411,14 +447,14 @@ class SAAQPOps:
         N_ss = (
             cost_scale * self.p_diag[n + M]
             + sigma_s
-            + jnp.sum(rho_y * sc.y**2)
+            + msum(rho_y * sc.y**2)
             + rho_s * sc.s**2
             + beta
         )
         N_tt = (
             sigma_t
             + beta * self.Malpha**2
-            + sc.gy**2 * jnp.sum(rowsum_wG)
+            + sc.gy**2 * msum(rowsum_wG)
         )
         N_st = beta * self.Malpha
 
@@ -434,12 +470,9 @@ class SAAQPOps:
         N_vv = N_vv.at[n + 1, n + 1].set(N_tt)
 
         # --- y-v coupling C (M, n+2): row i = [C_u_i | C_s_i | C_t_i] ---
-        # y_i - u: -gy * G_i^T wG_i  (n,)
-        C_u = self._pin(
-            -sc.gy * jnp.einsum(
-                "mkn,mk->mn", data.G, wG, precision=lax.Precision.HIGHEST
-            )
-        )  # (M, n)
+        # y_i - u: -gy * G_i^T wG_i  (n,) — wG is already sample-pinned, so
+        # GtwG carries the pinning; _pin kept for when sample_pin re-masks
+        C_u = self._pin(-sc.gy * GtwG)  # (M, n)
         # y_i - s: rho_y_i sc_y_i^2 (from the -y_i - s rows) + beta (CVaR row)
         C_s = (rho_y * sc.y**2 + beta)[:, None]  # (M, 1)
         # y_i - t: beta*Malpha + gy^2 * rowsum_wG_i
@@ -449,9 +482,13 @@ class SAAQPOps:
         # --- Schur complement S = N_vv - C^T Nyy^-1 C via Sherman-Morrison ---
         Dinv = 1.0 / D
         DinvC = Dinv[:, None] * C  # (M, n+2)
-        CtDinvC = C.T @ DinvC
-        one_DinvC = jnp.sum(DinvC, axis=0)  # (n+2,) = 1^T D^-1 C
-        denom = 1.0 + beta * jnp.sum(Dinv)
+        if comp:
+            p, e = dsjit.two_prod(C[:, :, None], DinvC[:, None, :])
+            CtDinvC = dsjit.ds_round(*dsjit.ds_sum(p, e, axis=0))
+        else:
+            CtDinvC = C.T @ DinvC
+        one_DinvC = msum(DinvC)  # (n+2,) = 1^T D^-1 C
+        denom = 1.0 + beta * msum(Dinv)
         S = N_vv - (CtDinvC - (beta / denom) * jnp.outer(one_DinvC, one_DinvC))
         # f32 safeguard: the Schur subtraction can lose positive-definiteness
         # to roundoff under extreme barrier/penalty weights; escalate a

@@ -254,3 +254,47 @@ def test_factored_refine_mode_solves():
     np.testing.assert_allclose(
         np.asarray(s_f.x), np.asarray(s_t.x), rtol=1e-6, atol=1e-9,
     )
+
+
+def test_compensated_factorize_f32():
+    """factorize_compensated (auto-on for f32 data) must form the stored
+    Schur blocks (N_vv, C) to a few f32 ulps of the exact values for the
+    SAME f32-rounded inputs — removing the O(sqrt(M*K))*eps accumulation
+    error of the plain einsum path that the 'factored' refinement mode
+    cannot observe (ops/saa_qp.py factorize)."""
+    st, data = make_problem(M=64)
+    scp_iter = jnp.asarray(3)
+    f32 = lambda t: jax.tree.map(lambda a: a.astype(jnp.float32), t)
+    f64 = lambda t: jax.tree.map(lambda a: a.astype(jnp.float64), t)
+    data32 = f32(data)
+
+    l, u = build_bounds(st, data32, scp_iter)
+    rho32 = admm.rho_vector(l, u, 0.1).astype(jnp.float32)
+    sigma32 = jnp.full(st.n + st.M + 2, 1e-6, jnp.float32)
+
+    # oracle: x64 formation from the identical f32-rounded inputs
+    ops64 = SAAQPOps(st, f64(data32), scp_iter)
+    _, C64, D64, beta64, Nvv64 = ops64.factorize(
+        rho32.astype(jnp.float64), sigma32.astype(jnp.float64)
+    )
+
+    ops_c = SAAQPOps(st, data32, scp_iter)  # auto: compensated for f32
+    assert ops_c.factorize_compensated
+    ops_p = SAAQPOps(st, data32, scp_iter, factorize_compensated=False)
+    _, C_c, D_c, _, Nvv_c = ops_c.factorize(rho32, sigma32)
+    _, C_p, D_p, _, Nvv_p = ops_p.factorize(rho32, sigma32)
+
+    def relerr(a, ref):
+        ref = np.asarray(ref)
+        return float(
+            np.max(np.abs(np.asarray(a, np.float64) - ref))
+            / np.max(np.abs(ref))
+        )
+
+    err_c, err_p = relerr(Nvv_c, Nvv64), relerr(Nvv_p, Nvv64)
+    # few-ulp formation: per-sample K-contraction rounding only
+    assert err_c < 1e-6, (err_c, err_p)
+    assert err_c <= err_p + 1e-12
+    np.testing.assert_allclose(np.asarray(C_c), np.asarray(C64), rtol=0,
+                               atol=1e-6 * float(np.max(np.abs(C64))))
+    np.testing.assert_allclose(np.asarray(D_c), np.asarray(D64), rtol=1e-5)

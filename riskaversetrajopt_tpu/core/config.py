@@ -83,6 +83,14 @@ class SolverConfig:
     # SCP l2_final 9.3e-2 vs 5.7e-3). Kept for experimentation; leave at
     # 1 for production.
     kkt_refine_period: int = 1
+    # MXU precision for the per-iteration G-sweeps (matvec_A / rmatvec_A in
+    # ops/saa_qp.py — the einsums over the (M, K, n) Jacobian stack that
+    # dominate ADMM iteration cost at M=1000). "highest" = 6-pass f32
+    # (exact); "high" = 3-pass bf16x3 (~1e-6 relative, half the MXU feed
+    # cost); "default" = 1-pass bf16 (~1e-2 — known to slow ADMM convergence
+    # 3x, do not use for solves). Factorization, define-phase and golden
+    # comparisons stay HIGHEST regardless.
+    sweep_precision: str = "highest"
     scaled_termination: bool = False
     # Termination-check interval backoff: when a check finds the residuals
     # >100x away from tolerance, the next check is scheduled at double the

@@ -310,7 +310,8 @@ def solve_saa_qp_ir(
     ruiz_iters: int = 5,
 ) -> admm.QPSolution:
     """Structured ADMM + iterative refinement to cfg.eps_abs/eps_rel."""
-    ops = SAAQPOps(st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters)
+    ops = SAAQPOps(st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters,
+                   sweep_precision=getattr(cfg, "sweep_precision", "highest"))
     p_diag, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)
     dtype = q.dtype

@@ -211,7 +211,7 @@ class SAAQPOps:
 
     def __init__(self, st: SAAQPStatic, data: SAAQPData, scp_iter,
                  kkt_refine_iters=1, kkt_refine_mode="true",
-                 factorize_compensated=None):
+                 factorize_compensated=None, sweep_precision="highest"):
         # kkt_refine_mode: residual operator for the in-iteration KKT
         # refinement. "true" recomputes N x through matvec_A/rmatvec_A — two
         # extra G-sweeps per pass, i.e. it doubles the HBM traffic of the
@@ -247,6 +247,14 @@ class SAAQPOps:
         self.p_diag, _ = build_objective(st, data)
         self.Malpha = st.M * data.alpha
         self.kkt_refine_iters = kkt_refine_iters
+        # Per-iteration G-sweep MXU precision (see SolverConfig.sweep_precision);
+        # the factorization einsums below stay HIGHEST/compensated — they run
+        # once per rho epoch, not per iteration.
+        self.sweep_precision = {
+            "highest": lax.Precision.HIGHEST,
+            "high": lax.Precision.HIGH,
+            "default": lax.Precision.DEFAULT,
+        }[sweep_precision]
 
     @staticmethod
     def _pin_with(pin, x):
@@ -299,7 +307,8 @@ class SAAQPOps:
         r_y = sc.y * (-y - s)
         # sample rows: m*(G_i u - gy*(y_i + t)) (gy=0 for baseline)
         Gu = self._pin(
-            jnp.einsum("mkn,n->mk", self.data.G, u, precision=lax.Precision.HIGHEST)
+            jnp.einsum("mkn,n->mk", self.data.G, u,
+                       precision=self.sweep_precision)
         )
         r_G = sc.g * m * (Gu - sc.gy * (y[:, None] + t))
         r_s = sc.s * (-s)
@@ -314,7 +323,8 @@ class SAAQPOps:
         wG = self._pin(sc.g * m * w_G)  # (M, K) effective sample-row weights
         u_part = (
             self.data.F.T @ w_f
-            + jnp.einsum("mkn,mk->n", self.data.G, wG, precision=lax.Precision.HIGHEST)
+            + jnp.einsum("mkn,mk->n", self.data.G, wG,
+                         precision=self.sweep_precision)
             + w_u
         )
         row_sums = jnp.sum(wG, axis=1)  # (M,)
@@ -577,6 +587,7 @@ def solve_saa_qp(
     ops = SAAQPOps(
         st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters,
         kkt_refine_mode=getattr(cfg, "kkt_refine_mode", "true"),
+        sweep_precision=getattr(cfg, "sweep_precision", "highest"),
     )
     _, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)

@@ -84,6 +84,7 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
                 if polish is None else polish
             ),
             kkt_refine_iters=int(os.environ.get("BENCH_KKT_REFINE", "1")),
+            kkt_refine_mode=os.environ.get("BENCH_KKT_REFINE_MODE", "true"),
             sweep_precision=os.environ.get("BENCH_SWEEP_PRECISION", "highest"),
         ),
         ir_cfg=ir_cfg,

@@ -238,6 +238,27 @@ class SAATrajOpt:
                 st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
                 interpret=self.pallas_interpret,
             )
+        elif self.qp_backend == "admm-pallas-f":
+            # Lane-flat fused kernel (ops/pallas/saa_admm_f.py): both
+            # Jacobian sweeps as single (8, X)@(X, Y) MXU matmuls over a
+            # VMEM-resident 2D G stack. Same envelope/fallback as
+            # admm-pallas (2 resident G copies: Mp*Kp*128*8 bytes vs the
+            # 110 MB scoped-vmem budget).
+            from riskaversetrajopt_tpu.ops.pallas import saa_admm_f as _pkf
+            from riskaversetrajopt_tpu.ops.pallas import saa_admm as _pk
+
+            d = _pk.kernel_dims(st, 32)
+            if (
+                self.dtype != jnp.float32
+                or d.Mp * d.Kp * 128 * 8 > 90 * 1024 * 1024
+            ):
+                return admm_solve()
+            x0 = warm[0] if warm is not None else None
+            y0 = warm[1] if warm is not None else None
+            return _pkf.solve_saa_qp_pallas_f(
+                st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
+                interpret=self.pallas_interpret,
+            )
         elif self.qp_backend == "hybrid-prox":
             # Golden-branch rescue for the post-gating transition QPs.
             # Warm-started ADMM follows the reference's OSQP solution branch

@@ -198,3 +198,71 @@ def test_driver_pallas_backend_end_to_end():
         l2 = np.asarray(res.l2_errors)
     assert np.isfinite(l2).all()
     assert l2[-1] < 5e-2, f"L2 errors: {l2}"
+
+
+# --- F-layout (lane-flat) kernel: ops/pallas/saa_admm_f.py -----------------
+
+def test_f_state_roundtrip():
+    from riskaversetrajopt_tpu.ops.pallas import saa_admm_f as pkf
+
+    st, data32, ops, q, l, u, scaling, rho, p, d = setup()
+    state = pk.init_scaled_state(p, d)
+    for _ in range(3):
+        state = pk.one_iter_ref(p, state, d)
+    sf = pkf.state_to_f(state, d)
+    state2 = pkf.f_to_state(sf, d)
+    for a, b, name in zip(state2, state, state._fields):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6,
+            err_msg=f"field {name}",
+        )
+
+
+def test_f_kernel_interpret_matches_reference():
+    from riskaversetrajopt_tpu.ops.pallas import saa_admm_f as pkf
+
+    st, data32, ops, q, l, u, scaling, rho, p, d = setup()
+    chunk = 4
+    state0 = pk.init_scaled_state(p, d)
+    state_ref = state0
+    for _ in range(chunk):
+        state_ref = pk.one_iter_ref(p, state_ref, d)
+    pf = pkf.to_f(p, d)
+    sf = pkf.admm_chunk_pallas_f(
+        pf, pkf.state_to_f(state0, d), d, chunk, interpret=True
+    )
+    state_k = pkf.f_to_state(sf, d)
+    for a, b, name in zip(state_k, state_ref, state_ref._fields):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2,
+            err_msg=f"field {name}",
+        )
+
+
+def test_f_solver_backend_matches_xla():
+    """solve_saa_qp_pallas_f (interpret mode) reaches the same solution
+    QUALITY as the default XLA structured solver at a fixed budget (same
+    contract as test_pallas_solver_backend_matches_xla: this small-M f32
+    problem stalls in the dual near eps 1e-3 for every backend)."""
+    from riskaversetrajopt_tpu.ops.pallas import saa_admm_f as pkf
+    from riskaversetrajopt_tpu.ops.saa_qp import build_objective, solve_saa_qp
+    from tests.test_saa_qp import dense_reference_A
+
+    st, data = make_problem(M=12)
+    data32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), data)
+    cfg = SolverConfig(eps_abs=1e-3, eps_rel=1e-3, max_iter=4000)
+    s_f = pkf.solve_saa_qp_pallas_f(
+        st, data32, jnp.asarray(3), cfg, chunk=50, interpret=True
+    )
+    assert float(s_f.prim_res) < 2e-2
+    s_ref = solve_saa_qp(st, data32, jnp.asarray(3), cfg)
+    A, ld, ud = dense_reference_A(st, jax.tree.map(np.asarray, data32), 3)
+    p_diag, q = build_objective(st, data32)
+    for sol in (s_f, s_ref):
+        Ax = A @ np.asarray(sol.x, np.float64)
+        assert np.max(Ax - ud) < 2e-2
+        assert np.max(ld - Ax) < 2e-2
+    obj = lambda v: 0.5 * np.sum(np.asarray(p_diag) * v * v) + np.asarray(q) @ v
+    o_f = obj(np.asarray(s_f.x, np.float64))
+    o_x = obj(np.asarray(s_ref.x, np.float64))
+    assert abs(o_f - o_x) <= 5e-2 * (1 + abs(o_x))

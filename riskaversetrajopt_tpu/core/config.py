@@ -60,6 +60,11 @@ class SolverConfig:
     check_every: int = 25
     rho: float = 0.1
     rho_eq_scale: float = 1e3  # OSQP scales rho on equality rows by 1e3
+    # Start each SCP subproblem's ADMM from the PREVIOUS QP's adapted rho
+    # (OSQP keeps rho in its workspace across the reference's
+    # setup-once-then-update loop, drone_risk.py:425-452); rho is re-adapted
+    # normally from there. False = always start from cfg.rho.
+    rho_warm_start: bool = True
     sigma: float = 1e-6
     alpha_relax: float = 1.6
     adaptive_rho: bool = True

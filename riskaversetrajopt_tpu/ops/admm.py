@@ -67,6 +67,12 @@ class QPSolution(NamedTuple):
     # OSQP-style infeasibility certificates (False when not computed)
     prim_infeasible: jnp.ndarray = jnp.asarray(False)
     dual_infeasible: jnp.ndarray = jnp.asarray(False)
+    # final adapted rho (0.0 when the backend does not track it) — OSQP
+    # keeps rho in its workspace across update()/solve() calls, so in the
+    # reference's setup-once-then-update SCP loop (drone_risk.py:425-452)
+    # each solve starts from the previously adapted rho; callers thread
+    # this back in as rho0 to reproduce that warm-start behavior
+    rho: jnp.ndarray = jnp.asarray(0.0)
 
 
 class Scaling(NamedTuple):
@@ -197,6 +203,7 @@ def admm_solve(
     x0=None,
     y0=None,
     scaling: Optional[Scaling] = None,
+    rho0=None,
 ) -> QPSolution:
     """Run ADMM to the OSQP termination criterion.
 
@@ -226,7 +233,8 @@ def admm_solve(
 
     sigma_vec = jnp.full(n, cfg.sigma, dtype)
     alpha = jnp.asarray(cfg.alpha_relax, dtype)
-    rho0 = jnp.asarray(cfg.rho, dtype)
+    rho0 = jnp.asarray(cfg.rho if rho0 is None else rho0, dtype)
+    rho0 = jnp.clip(rho0, _RHO_MIN, _RHO_MAX)
     q_norm_unscaled = jnp.max(jnp.abs(q))
 
     factor0 = sops.factorize(rho_vector(ls, us, rho0), sigma_vec)
@@ -483,6 +491,7 @@ def admm_solve(
         solved=s.done & jnp.logical_not(s.prim_inf | s.dual_inf),
         prim_infeasible=s.prim_inf,
         dual_infeasible=s.dual_inf,
+        rho=s.rho,
     )
 
 

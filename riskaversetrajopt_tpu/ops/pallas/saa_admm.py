@@ -917,6 +917,7 @@ def solve_saa_qp_pallas(
     # in the full SCP while-loop (TM=64 overflows by ~1.2MB at M=512)
     TM: int = 32,
     interpret: bool = False,
+    rho0=None,
 ):
     """OSQP-semantics solve of the structured SAA QP with the fused Pallas
     kernel: `chunk` ADMM iterations per kernel launch, unscaled-residual
@@ -941,7 +942,9 @@ def solve_saa_qp_pallas(
     p_diag, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)
     scaling = admm_mod.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters)
-    rho = jnp.asarray(cfg.rho, dtype)
+    rho = jnp.clip(
+        jnp.asarray(cfg.rho if rho0 is None else rho0, dtype), 1e-6, 1e6
+    )
     p, (D, E, c_cost) = scaled_structure(
         st, data, scp_iter, scaling, rho, cfg, TM=TM
     )
@@ -1053,4 +1056,5 @@ def solve_saa_qp_pallas(
         prim_res=prim,
         dual_res=dual,
         solved=done,
+        rho=rho,
     )

@@ -432,6 +432,7 @@ def solve_saa_qp_pallas_f(
     ruiz_iters: int = 5,
     chunk: int = 25,
     interpret: bool = False,
+    rho0=None,
 ):
     """OSQP-semantics solve with the F-layout fused kernel: `chunk` ADMM
     iterations per launch, unscaled-residual termination + adaptive rho
@@ -450,7 +451,9 @@ def solve_saa_qp_pallas_f(
     p_diag, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)
     scaling = admm_mod.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters)
-    rho = jnp.asarray(cfg.rho, dtype)
+    rho = jnp.clip(
+        jnp.asarray(cfg.rho if rho0 is None else rho0, dtype), 1e-6, 1e6
+    )
     p, (D, E, c_cost) = scaled_structure(
         st, data, scp_iter, scaling, rho, cfg, TM=TM
     )
@@ -567,4 +570,5 @@ def solve_saa_qp_pallas_f(
         prim_res=prim,
         dual_res=dual,
         solved=done,
+        rho=rho,
     )

@@ -582,6 +582,7 @@ def solve_saa_qp(
     y0=None,
     scale: bool = True,
     ruiz_iters: int = 5,
+    rho0=None,
 ) -> admm.QPSolution:
     """Solve one SCP subproblem with the structured operator."""
     ops = SAAQPOps(
@@ -592,4 +593,5 @@ def solve_saa_qp(
     _, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)
     scaling = admm.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters) if scale else None
-    return admm.admm_solve(ops, q, l, u, cfg, x0=x0, y0=y0, scaling=scaling)
+    return admm.admm_solve(ops, q, l, u, cfg, x0=x0, y0=y0, scaling=scaling,
+                           rho0=rho0)

@@ -199,7 +199,18 @@ class SAATrajOpt:
         def admm_solve():
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None
-            return solve_saa_qp(st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0)
+            # warm[2]: the previous QP's adapted rho — OSQP keeps rho in its
+            # workspace across the reference's update()/solve() SCP loop
+            # (drone_risk.py:443-452), so each solve resumes from it instead
+            # of re-adapting from cfg.rho
+            rho0 = (
+                warm[2]
+                if warm is not None and len(warm) > 2
+                and getattr(self.admm_cfg, "rho_warm_start", True)
+                else None
+            )
+            return solve_saa_qp(st, data, scp_iter, self.admm_cfg, x0=x0,
+                                y0=y0, rho0=rho0)
 
         if self.qp_backend == "ipm":
             return ipm_solve()
@@ -234,9 +245,15 @@ class SAATrajOpt:
                 return admm_solve()
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None
+            rho0 = (
+                warm[2]
+                if warm is not None and len(warm) > 2
+                and getattr(self.admm_cfg, "rho_warm_start", True)
+                else None
+            )
             return _pk.solve_saa_qp_pallas(
                 st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
-                interpret=self.pallas_interpret,
+                interpret=self.pallas_interpret, rho0=rho0,
             )
         elif self.qp_backend == "admm-pallas-f":
             # Lane-flat fused kernel (ops/pallas/saa_admm_f.py): both
@@ -255,9 +272,15 @@ class SAATrajOpt:
                 return admm_solve()
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None
+            rho0 = (
+                warm[2]
+                if warm is not None and len(warm) > 2
+                and getattr(self.admm_cfg, "rho_warm_start", True)
+                else None
+            )
             return _pkf.solve_saa_qp_pallas_f(
                 st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
-                interpret=self.pallas_interpret,
+                interpret=self.pallas_interpret, rho0=rho0,
             )
         elif self.qp_backend == "hybrid-prox":
             # Golden-branch rescue for the post-gating transition QPs.
@@ -361,7 +384,14 @@ class SAATrajOpt:
         n = st.n
         us0 = model.initial_guess().astype(self.dtype)
         nv = n + M + 2
-        warm0 = (jnp.zeros(nv, self.dtype), jnp.zeros(st_total_rows(st), self.dtype))
+        warm0 = (
+            jnp.zeros(nv, self.dtype),
+            jnp.zeros(st_total_rows(st), self.dtype),
+            jnp.asarray(self.admm_cfg.rho, self.dtype),
+        )
+        # backends whose QPSolution.rho is meaningful (ADMM family); others
+        # carry the previous rho forward untouched
+        rho_backends = ("admm", "admm-pallas", "admm-pallas-f")
 
         def step(carry, scp_iter):
             us_prev, warm = carry
@@ -369,9 +399,14 @@ class SAATrajOpt:
                 us_prev, omegas, alpha, M, model=model, p_diag_u=p_diag_u
             )
             sol = self._solve_qp(st, data, scp_iter, warm)
+            rho_next = (
+                sol.rho.astype(self.dtype)
+                if self.qp_backend in rho_backends
+                else warm[2]
+            )
             us = sol.x[:n].reshape(model.S, model.n_u)
             l2 = l2_error_us(us, us_prev)
-            return (us, (sol.x, sol.y)), (
+            return (us, (sol.x, sol.y, rho_next)), (
                 l2,
                 sol.x[-1],
                 sol.iters,
@@ -435,6 +470,7 @@ class SAATrajOpt:
         warm = (
             jnp.zeros(nv, self.dtype),
             jnp.zeros(st_total_rows(st), self.dtype),
+            jnp.asarray(self.admm_cfg.rho, self.dtype),
         )
         us_prev = model.initial_guess().astype(self.dtype)
         alpha = jnp.asarray(alpha, self.dtype)
@@ -457,6 +493,7 @@ class SAATrajOpt:
                 warm = (
                     jnp.asarray(saved.warm_x, self.dtype),
                     jnp.asarray(saved.warm_y, self.dtype),
+                    jnp.asarray(self.admm_cfg.rho, self.dtype),
                 )
 
         define_times, solve_times, cum_times, l2s = [], [], [], []
@@ -471,7 +508,12 @@ class SAATrajOpt:
             us = sol.x[:n].reshape(model.S, model.n_u)
             l2s.append(float(l2_error_us(us, us_prev)))
             us_prev = us
-            warm = (sol.x, sol.y)
+            warm = (
+                sol.x, sol.y,
+                sol.rho.astype(self.dtype)
+                if self.qp_backend in ("admm", "admm-pallas", "admm-pallas-f")
+                else warm[2],
+            )
             total += t_def + t_sol
             define_times.append(t_def)
             solve_times.append(t_sol)

@@ -189,6 +189,25 @@ class SAATrajOpt:
         lin = linearize_batch(model, us_prev, omegas)
         return pack_saa_qp_data(lin, us_prev_vec, p_diag_u, alpha)
 
+    def _warm_rho(self, warm, scp_iter):
+        """warm[2]: the previous QP's adapted rho — OSQP keeps rho in its
+        workspace across the reference's setup-once-then-update SCP loop
+        (drone_risk.py:443-452), so each solve resumes from it instead of
+        re-adapting from cfg.rho. EXCEPT at the gating transition
+        (scp_iter == gate_iters): the subproblem changes structurally there
+        (the 1e-7-scaled obstacle rows come live, drone_risk.py:413-417) and
+        inheriting the gated QPs' rho triples the transition QP's iteration
+        count (measured 12550 vs 3425 at M=1000); restart from cfg.rho."""
+        if warm is None or len(warm) <= 2 or not getattr(
+            self.admm_cfg, "rho_warm_start", True
+        ):
+            return None
+        return jnp.where(
+            jnp.asarray(scp_iter) == self.scp_cfg.gate_iters,
+            jnp.asarray(self.admm_cfg.rho, self.dtype),
+            warm[2],
+        )
+
     def _solve_qp(self, st, data, scp_iter, warm=None):
         def ipm_solve():
             ops = SAAQPOps(st, data, scp_iter)
@@ -199,16 +218,7 @@ class SAATrajOpt:
         def admm_solve():
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None
-            # warm[2]: the previous QP's adapted rho — OSQP keeps rho in its
-            # workspace across the reference's update()/solve() SCP loop
-            # (drone_risk.py:443-452), so each solve resumes from it instead
-            # of re-adapting from cfg.rho
-            rho0 = (
-                warm[2]
-                if warm is not None and len(warm) > 2
-                and getattr(self.admm_cfg, "rho_warm_start", True)
-                else None
-            )
+            rho0 = self._warm_rho(warm, scp_iter)
             return solve_saa_qp(st, data, scp_iter, self.admm_cfg, x0=x0,
                                 y0=y0, rho0=rho0)
 
@@ -245,12 +255,7 @@ class SAATrajOpt:
                 return admm_solve()
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None
-            rho0 = (
-                warm[2]
-                if warm is not None and len(warm) > 2
-                and getattr(self.admm_cfg, "rho_warm_start", True)
-                else None
-            )
+            rho0 = self._warm_rho(warm, scp_iter)
             return _pk.solve_saa_qp_pallas(
                 st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
                 interpret=self.pallas_interpret, rho0=rho0,
@@ -272,12 +277,7 @@ class SAATrajOpt:
                 return admm_solve()
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None
-            rho0 = (
-                warm[2]
-                if warm is not None and len(warm) > 2
-                and getattr(self.admm_cfg, "rho_warm_start", True)
-                else None
-            )
+            rho0 = self._warm_rho(warm, scp_iter)
             return _pkf.solve_saa_qp_pallas_f(
                 st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
                 interpret=self.pallas_interpret, rho0=rho0,

@@ -36,6 +36,24 @@ Reference semantics are identical to ops/admm.py (OSQP iteration; see
 saa_admm.scaled_structure for the folded Ruiz/gating/MULTIPLIER scalings,
 citations at ops/saa_qp.py). Correctness oracle: saa_admm.one_iter_ref via
 the state converters below (tests/test_pallas_admm.py).
+
+STATUS (round 3, measured on v5e via tools/probe_c1d.py): the layout is
+correct (interpret-mode tests green) but NOT a performance win on this
+Mosaic toolchain. Even the canonical single matmuls run ~7x off peak —
+bd1 (8,65536)@(65536,128) VMEM-resident: 188 us vs ~26 us theoretical;
+bd2: 131 us; and the PURE ELEMENTWISE aux pass (lane-slice rowsum +
+pltpu.repeat + row update on (1, F)) costs 165 us/iter because (1, F)
+arrays occupy one sublane of every vreg tile (1/8 VPU utilization, no
+known lane-flat remedy). Every probed form — batched dots in 3 layouts,
+VPU reduces, 2D matmuls — lands at 130-200 us/iter, while the XLA path's
+einsum iteration measures 90 us/iter at 81% of the HBM roofline
+(4 sweeps x 15.1 MB / 819 GB/s = 74 us). Conclusion: on this target the
+XLA einsum path IS the efficient implementation; the fused kernels remain
+in-tree as validated experimental backends ('admm-pallas',
+'admm-pallas-f') for future toolchains. The production lever that DID pay
+is halving the sweep count per iteration (kkt_refine_mode='factored' with
+compensated factor formation, ops/saa_qp.py) — 0.40 s vs 0.70 s per
+15-iteration SCP solve at M=1000.
 """
 
 from __future__ import annotations

@@ -86,6 +86,9 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
             kkt_refine_iters=int(os.environ.get("BENCH_KKT_REFINE", "1")),
             kkt_refine_mode=os.environ.get("BENCH_KKT_REFINE_MODE", "true"),
             sweep_precision=os.environ.get("BENCH_SWEEP_PRECISION", "highest"),
+            # fixed-cadence rho epochs — required for vmapped (batched)
+            # solves; see SolverConfig.rho_epoch_every
+            rho_epoch_every=int(os.environ.get("BENCH_RHO_EPOCH", "0")),
         ),
         ir_cfg=ir_cfg,
         dtype=jnp.float32,
@@ -401,8 +404,15 @@ def main():
                    "--batched-child", str(B)]
             if args.platform:
                 cmd += ["--platform", args.platform]
+            env = dict(os.environ)
+            # batched solves need the fixed-cadence rho epochs (aligned
+            # across the vmapped batch; SolverConfig.rho_epoch_every)
+            env.setdefault(
+                "BENCH_RHO_EPOCH",
+                os.environ.get("BENCH_RHO_EPOCH_BATCH", "100"),
+            )
             out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=2400,
+                cmd, capture_output=True, text=True, timeout=2400, env=env,
             )
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")]

@@ -65,6 +65,17 @@ class SolverConfig:
     # setup-once-then-update loop, drone_risk.py:425-452); rho is re-adapted
     # normally from there. False = always start from cfg.rho.
     rho_warm_start: bool = True
+    # Adaptive-rho epoch cadence. 0 (default) = event-driven: the inner
+    # fixed-rho loop exits whenever a termination check requests a
+    # refactorization (ops/admm.py two-level while). >0 = FIXED-CADENCE:
+    # rho updates/refactorizations happen every `rho_epoch_every`
+    # iterations regardless. Use the fixed cadence for VMAPPED (batched)
+    # solves: under vmap the event-driven handshake lets one element's
+    # refactor request freeze it until every element exits the inner loop,
+    # desynchronizing rho adaptation across the batch — measured at B=4,
+    # M=1000: the same instance takes 12075 iterations batched vs 3200
+    # serial, and wall time inflates 24x (tools/probe_batched4.py).
+    rho_epoch_every: int = 0
     sigma: float = 1e-6
     alpha_relax: float = 1.6
     adaptive_rho: bool = True

@@ -459,15 +459,39 @@ def admm_solve(
             s, _ = c
             return jnp.logical_not(s.done) & (s.it < cfg.max_iter)
 
-        def outer_body(c):
-            s, factor = c
-            s = lax.while_loop(inner_cond, make_body(factor), s)
-            rho2 = jnp.where(s.refactor, s.rho_next, s.rho)
-            factor2 = sops.factorize(rho_vector(ls, us, rho2), sigma_vec)
-            return (
-                s._replace(rho=rho2, refactor=jnp.asarray(False)),
-                factor2,
-            )
+        epoch = int(getattr(cfg, "rho_epoch_every", 0))
+        if epoch > 0:
+            # Fixed-cadence epochs (cfg.rho_epoch_every): mid-epoch
+            # refactor requests are deferred to the epoch boundary. Keeps
+            # every vmapped batch element's epoch schedule ALIGNED — the
+            # event-driven handshake below freezes an element that wants a
+            # refactor until the whole batch exits the inner loop, which
+            # desynchronizes rho adaptation and inflates both iteration
+            # counts and wall time (tools/probe_batched4.py).
+            def outer_body(c):
+                s, factor = c
+                end = jnp.minimum(s.it + epoch, cfg.max_iter)
+
+                def icond(s2):
+                    return jnp.logical_not(s2.done) & (s2.it < end)
+
+                s = lax.while_loop(icond, make_body(factor), s)
+                rho2 = jnp.where(s.refactor, s.rho_next, s.rho)
+                factor2 = sops.factorize(rho_vector(ls, us, rho2), sigma_vec)
+                return (
+                    s._replace(rho=rho2, refactor=jnp.asarray(False)),
+                    factor2,
+                )
+        else:
+            def outer_body(c):
+                s, factor = c
+                s = lax.while_loop(inner_cond, make_body(factor), s)
+                rho2 = jnp.where(s.refactor, s.rho_next, s.rho)
+                factor2 = sops.factorize(rho_vector(ls, us, rho2), sigma_vec)
+                return (
+                    s._replace(rho=rho2, refactor=jnp.asarray(False)),
+                    factor2,
+                )
 
         s, _ = lax.while_loop(outer_cond, outer_body, (init, factor0))
     else:

@@ -255,3 +255,25 @@ def test_check_backoff_solves_same_solution():
     assert bool(base.solved) and bool(back.solved)
     np.testing.assert_allclose(np.asarray(back.x), np.asarray(base.x),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_rho_epoch_cadence_solves_same_solution():
+    """rho_epoch_every > 0 (fixed-cadence rho refactorization epochs, the
+    vmapped-batch mode) must reach the same certified solution as the
+    event-driven epoch handshake; only the rho-update timing differs."""
+    rng = np.random.default_rng(11)
+    n, m = 20, 40
+    L = rng.standard_normal((n, n))
+    P = jnp.asarray(L @ L.T + 0.1 * np.eye(n))
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    q = jnp.asarray(rng.standard_normal(n))
+    l = jnp.asarray(-1.0 - rng.random(m))
+    u = jnp.asarray(1.0 + rng.random(m))
+    base = solve_dense_qp(P, q, A, l, u, SolverConfig(
+        eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, polish=False))
+    epoch = solve_dense_qp(P, q, A, l, u, SolverConfig(
+        eps_abs=1e-6, eps_rel=1e-6, max_iter=20000, polish=False,
+        rho_epoch_every=100))
+    assert bool(base.solved) and bool(epoch.solved)
+    np.testing.assert_allclose(np.asarray(epoch.x), np.asarray(base.x),
+                               rtol=1e-4, atol=1e-6)

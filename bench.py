@@ -32,7 +32,11 @@ CPU mesh to validate the harness + collectives — perf numbers remain the
 1-chip default mode). Efficiency = t_1 / (N * t_N).
 
 Env knobs: BENCH_M, BENCH_ITERS, BENCH_REPEATS, BENCH_BACKEND
-(admm | admm-pallas | hybrid | ipm), BENCH_EPS, BENCH_MAX_ITER.
+(admm | admm-pallas | admm-pallas-f | hybrid | ipm), BENCH_EPS,
+BENCH_MAX_ITER, BENCH_KKT_REFINE, BENCH_KKT_REFINE_MODE (true | factored),
+BENCH_SWEEP_PRECISION (highest | high), BENCH_RHO_EPOCH (0 = event-driven
+rho epochs; the batched leg defaults to 100 via BENCH_RHO_EPOCH_BATCH),
+BENCH_POLISH, BENCH_EPS_REL, BENCH_BATCH, BENCH_PARITY.
 """
 
 import argparse

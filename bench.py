@@ -88,11 +88,20 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
                 if polish is None else polish
             ),
             kkt_refine_iters=int(os.environ.get("BENCH_KKT_REFINE", "1")),
-            kkt_refine_mode=os.environ.get("BENCH_KKT_REFINE_MODE", "true"),
+            # "factored" + compensated factor formation: 2 G-sweeps/iter
+            # instead of 4 — the iteration is HBM-bound, so this halves
+            # per-iteration cost; measured 0.40s vs 0.70s per solve at
+            # M=1000 with every QP certified (PARITY.md round 3)
+            kkt_refine_mode=os.environ.get("BENCH_KKT_REFINE_MODE",
+                                           "factored"),
             sweep_precision=os.environ.get("BENCH_SWEEP_PRECISION", "highest"),
             # fixed-cadence rho epochs — required for vmapped (batched)
             # solves; see SolverConfig.rho_epoch_every
             rho_epoch_every=int(os.environ.get("BENCH_RHO_EPOCH", "0")),
+            # speed mode opts into cross-QP rho warm starts (gate-aware;
+            # scp/driver._warm_rho) — library default is off for golden
+            # branch-tracking parity
+            rho_warm_start=bool(int(os.environ.get("BENCH_RHO_WS", "1"))),
         ),
         ir_cfg=ir_cfg,
         dtype=jnp.float32,
@@ -278,14 +287,29 @@ def main():
         return
 
     if args.batched_child:
-        omegas = opt.sample(jax.random.PRNGKey(0), M=M)
+        # Batched-problem axis at the REFERENCE's sweep shape: 30 repeats x
+        # M=50 (drone_risk.py:55-56,498-503, solved serially there). At
+        # M=1000 the ADMM iteration is HBM-bandwidth-bound (4 sweeps x
+        # 15.1 MB at 819 GB/s), so lockstep-batching full-size problems
+        # cannot beat serial; the batched axis pays off where latency
+        # dominates — the reference's own small-M repeat sweeps.
+        Mb = int(os.environ.get("BENCH_BATCH_M", "50"))
+        omegas = opt.sample(jax.random.PRNGKey(0), M=Mb)
         bsps, t_b = batched_throughput(
             opt, omegas, 0.2, args.batched_child, max(1, repeats - 1)
         )
+        # serial reference point on the same instance shape
+        t_1, _ = time_solve(
+            opt, omegas, 0.2, jax.devices()[0], max(1, repeats - 1),
+            want_result=False,
+        )
         print(json.dumps({
             "batch": args.batched_child,
+            "M": Mb,
             "solves_per_s": round(bsps, 4),
             "batch_seconds": round(t_b, 4),
+            "serial_solve_s": round(t_1, 4),
+            "speedup_vs_serial": round(bsps * t_1, 2),
         }))
         return
 
@@ -399,7 +423,7 @@ def main():
     # Run in a SUBPROCESS: a device fault at B x M cannot poison this
     # process (a wedged chip takes minutes to recover — see CLAUDE.md).
     batched = None
-    B = int(os.environ.get("BENCH_BATCH", "4"))
+    B = int(os.environ.get("BENCH_BATCH", "30"))
     if B > 1:
         import subprocess
 
@@ -409,11 +433,12 @@ def main():
             if args.platform:
                 cmd += ["--platform", args.platform]
             env = dict(os.environ)
-            # batched solves need the fixed-cadence rho epochs (aligned
-            # across the vmapped batch; SolverConfig.rho_epoch_every)
+            # rho-epoch cadence for the batched child (0 = event-driven;
+            # fixed cadence was measured NOT to fix the lockstep divergence
+            # and to slow serial convergence — see PARITY.md round 3)
             env.setdefault(
                 "BENCH_RHO_EPOCH",
-                os.environ.get("BENCH_RHO_EPOCH_BATCH", "100"),
+                os.environ.get("BENCH_RHO_EPOCH_BATCH", "0"),
             )
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=2400, env=env,

@@ -63,8 +63,14 @@ class SolverConfig:
     # Start each SCP subproblem's ADMM from the PREVIOUS QP's adapted rho
     # (OSQP keeps rho in its workspace across the reference's
     # setup-once-then-update loop, drone_risk.py:425-452); rho is re-adapted
-    # normally from there. False = always start from cfg.rho.
-    rho_warm_start: bool = True
+    # normally from there. False = always start from cfg.rho. Default OFF:
+    # the golden-trajectory harness (tools/reference_oracle.py) restarts rho
+    # per QP, and enabling this shifts the SCP solution branch enough to
+    # break the 1e-3 golden-tracking contract
+    # (tests/test_reference_parity.py: 2.2e-3 vs 1e-3 at car M=50). The
+    # bench's speed mode opts in (BENCH_RHO_WS): measured 2-3x fewer ADMM
+    # iterations on the post-transition tail QPs at M=1000.
+    rho_warm_start: bool = False
     # Adaptive-rho epoch cadence. 0 (default) = event-driven: the inner
     # fixed-rho loop exits whenever a termination check requests a
     # refactorization (ops/admm.py two-level while). >0 = FIXED-CADENCE:

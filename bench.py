@@ -55,7 +55,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
-         polish=None):
+         polish=None, refine_mode=None, rho_ws=None):
     from riskaversetrajopt_tpu.core.config import (
         DroneScenario,
         SCPConfig,
@@ -92,8 +92,10 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
             # instead of 4 — the iteration is HBM-bound, so this halves
             # per-iteration cost; measured 0.40s vs 0.70s per solve at
             # M=1000 with every QP certified (PARITY.md round 3)
-            kkt_refine_mode=os.environ.get("BENCH_KKT_REFINE_MODE",
-                                           "factored"),
+            kkt_refine_mode=(
+                os.environ.get("BENCH_KKT_REFINE_MODE", "factored")
+                if refine_mode is None else refine_mode
+            ),
             sweep_precision=os.environ.get("BENCH_SWEEP_PRECISION", "highest"),
             # fixed-cadence rho epochs — required for vmapped (batched)
             # solves; see SolverConfig.rho_epoch_every
@@ -101,7 +103,10 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
             # speed mode opts into cross-QP rho warm starts (gate-aware;
             # scp/driver._warm_rho) — library default is off for golden
             # branch-tracking parity
-            rho_warm_start=bool(int(os.environ.get("BENCH_RHO_WS", "1"))),
+            rho_warm_start=(
+                bool(int(os.environ.get("BENCH_RHO_WS", "1")))
+                if rho_ws is None else rho_ws
+            ),
         ),
         ir_cfg=ir_cfg,
         dtype=jnp.float32,
@@ -388,12 +393,15 @@ def main():
     if int(os.environ.get("BENCH_PARITY", "1")) and gold is not None:
         from riskaversetrajopt_tpu.ops.qp_refine import IRConfig
 
+        # pinned to the golden-branch-certified knobs: true-residual
+        # refinement, no cross-QP rho warm start (the speed-mode defaults
+        # trade branch tracking for throughput)
         p_opt = make(
             iters, "admm-ir", 1e-4, 20000, eps_rel=1e-5,
             ir_cfg=IRConfig(
                 base_eps_abs=1e-4, base_eps_rel=1e-5, base_max_iter=20000
             ),
-            polish=False,
+            polish=False, refine_mode="true", rho_ws=False,
         )
         t_par, res_par = time_solve(p_opt, omegas, alpha, accel, 1)
         import numpy as np

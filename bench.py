@@ -100,6 +100,9 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
             # fixed-cadence rho epochs — required for vmapped (batched)
             # solves; see SolverConfig.rho_epoch_every
             rho_epoch_every=int(os.environ.get("BENCH_RHO_EPOCH", "0")),
+            rho_update_factor=float(
+                os.environ.get("BENCH_RHO_UPDATE_FACTOR", "5.0")
+            ),
             # speed mode opts into cross-QP rho warm starts (gate-aware;
             # scp/driver._warm_rho) — library default is off for golden
             # branch-tracking parity

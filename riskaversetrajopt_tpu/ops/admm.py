@@ -235,6 +235,7 @@ def admm_solve(
     alpha = jnp.asarray(cfg.alpha_relax, dtype)
     rho0 = jnp.asarray(cfg.rho if rho0 is None else rho0, dtype)
     rho0 = jnp.clip(rho0, _RHO_MIN, _RHO_MAX)
+    _ruf = float(getattr(cfg, "rho_update_factor", 5.0))
     q_norm_unscaled = jnp.max(jnp.abs(q))
 
     factor0 = sops.factorize(rho_vector(ls, us, rho0), sigma_vec)
@@ -401,7 +402,7 @@ def admm_solve(
                     s.rho * jnp.sqrt(ratio), _RHO_MIN, _RHO_MAX
                 )
                 refactor = (
-                    ((rho_new > 5.0 * s.rho) | (rho_new < s.rho / 5.0))
+                    ((rho_new > _ruf * s.rho) | (rho_new < s.rho / _ruf))
                     & jnp.logical_not(solved)
                 )
             else:

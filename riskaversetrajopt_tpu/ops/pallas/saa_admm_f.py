@@ -472,6 +472,7 @@ def solve_saa_qp_pallas_f(
     rho = jnp.clip(
         jnp.asarray(cfg.rho if rho0 is None else rho0, dtype), 1e-6, 1e6
     )
+    _ruf = float(getattr(cfg, "rho_update_factor", 5.0))
     p, (D, E, c_cost) = scaled_structure(
         st, data, scp_iter, scaling, rho, cfg, TM=TM
     )
@@ -544,7 +545,7 @@ def solve_saa_qp_pallas_f(
         if cfg.adaptive_rho:
             rho_new = jnp.clip(rho_c * jnp.sqrt(ratio), 1e-6, 1e6)
             do_update = (
-                ((rho_new > 5.0 * rho_c) | (rho_new < rho_c / 5.0))
+                ((rho_new > _ruf * rho_c) | (rho_new < rho_c / _ruf))
                 & jnp.logical_not(ok)
             )
             rho_c = jnp.where(do_update, rho_new, rho_c)

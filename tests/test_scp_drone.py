@@ -99,3 +99,53 @@ def test_drone_baseline_scp():
         omegas, res.xs
     )
     assert float(jnp.max(g_all)) <= 1e-2
+
+
+def test_warm_rho_gate_transition_reset():
+    """_warm_rho threads the previous QP's adapted rho across SCP
+    iterations but restarts from cfg.rho at the gating transition
+    (scp_iter == gate_iters), and returns None when disabled."""
+    from riskaversetrajopt_tpu.core.config import SolverConfig
+
+    model = DroneModel(DroneScenario())
+    opt = SAATrajOpt(
+        model, method="saa",
+        scp_cfg=SCPConfig(num_iters=4, gate_iters=2, gate_row_scale=1e-7,
+                          gate_bound_l=-0.1, gate_bound_u=0.1),
+        admm_cfg=SolverConfig(rho=0.1, rho_warm_start=True),
+        dtype=jnp.float32,
+    )
+    warm = (jnp.zeros(2), jnp.zeros(3), jnp.float32(7.0))
+    # mid-loop: previous adapted rho carried through
+    assert float(opt._warm_rho(warm, jnp.asarray(3))) == 7.0
+    # gating transition: restart from cfg.rho
+    assert float(opt._warm_rho(warm, jnp.asarray(2))) == np.float32(0.1)
+    # disabled or legacy 2-tuple warm: None (solver uses cfg.rho)
+    assert opt._warm_rho((warm[0], warm[1]), jnp.asarray(3)) is None
+    opt.admm_cfg = SolverConfig(rho=0.1, rho_warm_start=False)
+    assert opt._warm_rho(warm, jnp.asarray(3)) is None
+
+
+def test_rho_warm_start_solves_equivalently():
+    """With rho warm-starting enabled the SCP solves to the same quality
+    (it changes the solver's internal rho path, not the problem)."""
+    from riskaversetrajopt_tpu.core.config import SolverConfig
+
+    model = DroneModel(DroneScenario())
+    M = 8
+    sols = {}
+    for rw in (False, True):
+        opt = SAATrajOpt(
+            model, method="saa",
+            scp_cfg=SCPConfig(num_iters=10, gate_iters=2,
+                              gate_row_scale=1e-7,
+                              gate_bound_l=-0.1, gate_bound_u=0.1),
+            admm_cfg=SolverConfig(eps_abs=1e-6, eps_rel=1e-6,
+                                  max_iter=20000, polish=False,
+                                  rho_warm_start=rw),
+        )
+        omegas = opt.sample(jax.random.PRNGKey(0), M=M)
+        res = opt.solve(omegas, alpha=0.2)
+        assert bool(np.all(np.asarray(res.qp_solved)))
+        sols[rw] = np.asarray(res.us)
+    np.testing.assert_allclose(sols[True], sols[False], rtol=5e-3, atol=5e-3)

@@ -7,9 +7,16 @@ import os
 # XLA_FLAGS must be set before the CPU backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Serialize LLVM codegen inside XLA:CPU compilation: three full-suite runs
+# segfaulted/aborted inside backend_compile_and_load on the large x64
+# reference-parity programs (each at a different test, all in the biggest
+# compiles; every crash site passes standalone) — parallel LLVM codegen is
+# the prime suspect, and serializing it costs little here since the huge
+# compiles are few.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

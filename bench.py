@@ -361,7 +361,11 @@ def main():
     # so solution quality is directly comparable even where f32/x64
     # solution-branch divergence makes raw l2_vs_golden macroscopic (the
     # degenerate post-gating QPs; see PARITY.md).
-    mc_om = opt.sample(jax.random.PRNGKey(99), M=3000)
+    # M=10000 fresh samples: the reference's own oracle size
+    # (car/driving.py:621, drone_risk.py:647)
+    mc_om = opt.sample(
+        jax.random.PRNGKey(99), M=int(os.environ.get("BENCH_MC_M", "10000"))
+    )
     mc = opt.monte_carlo(res.us, mc_om, alpha)
     mc_stats = {
         "mc_safe": round(float(mc["safe_frac"]), 4),
@@ -493,5 +497,49 @@ def main():
     )
 
 
+def _main_with_retries():
+    """Run main() under a bounded re-exec retry loop.
+
+    A transient accelerator-backend failure (init UNAVAILABLE after a queue
+    preemption, or a device fault mid-run — the chip recovers in ~2-4 min)
+    must not lose the whole perf record: JAX caches a failed backend for the
+    life of the process, so retry by RE-EXECING a fresh process after a
+    backoff. On terminal failure still print a parseable JSON line with an
+    "error" field before exiting nonzero."""
+    import traceback
+
+    try:
+        main()
+        return
+    except Exception as e:  # noqa: BLE001 — bench must always emit JSON
+        traceback.print_exc()
+        attempt = int(os.environ.get("BENCH_ATTEMPT", "1"))
+        max_attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+        # the batched child runs inside the parent's subprocess timeout and
+        # its failure is already tolerated (reported in the "batched" field)
+        # — don't burn retry backoffs there
+        if "--batched-child" in sys.argv[1:]:
+            max_attempts = 1
+        if attempt < max_attempts:
+            backoff = int(os.environ.get("BENCH_RETRY_BACKOFF_S", "120"))
+            print(
+                f"[bench] attempt {attempt}/{max_attempts} failed "
+                f"({type(e).__name__}: {e}); re-exec in {backoff}s",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(backoff)
+            os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        print(json.dumps({
+            "metric": "drone_risk SCP solves/s (bench failed)",
+            "value": None,
+            "unit": "solves/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+            "attempts": attempt,
+        }), flush=True)
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retries()

@@ -205,6 +205,37 @@ def batched_throughput(opt, omegas, alpha, B, repeats):
     return B / t, t
 
 
+def scan_throughput(opt, omegas, alpha, B, repeats):
+    """Aggregate throughput of B independent flagship-size instances via the
+    on-device serial scheduler (`driver.solve_many`: one jitted `lax.scan`
+    over instances). At M=1000 the ADMM iteration is HBM-bandwidth-bound, so
+    lockstep vmap cannot beat serial — the scan scheduler instead runs each
+    instance at its own convergence schedule with zero per-instance dispatch,
+    targeting >= serial aggregate throughput for the reference's repeat
+    sweeps at the flagship size (drone_risk.py:498-503).
+
+    Returns (aggregate solves/s, median batch wall time)."""
+    import numpy as _np
+
+    def batch():
+        oms = [_perturb(omegas) for _ in range(B)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *oms)
+
+    alphas = jnp.full((B,), alpha, jnp.float32)
+    res = opt.solve_many(batch(), alphas)  # compile + warm
+    _np.asarray(res.us)
+    times = []
+    for _ in range(repeats):
+        omb = batch()
+        t0 = time.perf_counter()
+        r = opt.solve_many(omb, alphas)
+        _np.asarray(r.us)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    t = times[len(times) // 2]
+    return B / t, t
+
+
 def scaling_mode(opt, M, iters, repeats, max_devices):
     """Strong-scaling table over 1..max_devices mesh devices."""
     from riskaversetrajopt_tpu.parallel.mesh import make_mesh, shard_samples
@@ -315,14 +346,35 @@ def main():
             opt, omegas, 0.2, jax.devices()[0], max(1, repeats - 1),
             want_result=False,
         )
-        print(json.dumps({
+        out = {
             "batch": args.batched_child,
             "M": Mb,
             "solves_per_s": round(bsps, 4),
             "batch_seconds": round(t_b, 4),
             "serial_solve_s": round(t_1, 4),
             "speedup_vs_serial": round(bsps * t_1, 2),
-        }))
+        }
+        # flagship-size leg: scan-over-instances scheduler at M (HBM-bound
+        # regime where lockstep vmap loses; see scan_throughput)
+        Bs = int(os.environ.get("BENCH_SCAN_B", "4"))
+        if Bs > 1:
+            om_f = opt.sample(jax.random.PRNGKey(0), M=M)
+            ssps, t_s = scan_throughput(
+                opt, om_f, 0.2, Bs, max(1, repeats - 1)
+            )
+            t_f, _ = time_solve(
+                opt, om_f, 0.2, jax.devices()[0], max(1, repeats - 1),
+                want_result=False,
+            )
+            out["scan_flagship"] = {
+                "batch": Bs,
+                "M": M,
+                "solves_per_s": round(ssps, 4),
+                "batch_seconds": round(t_s, 4),
+                "serial_solve_s": round(t_f, 4),
+                "speedup_vs_serial": round(ssps * t_f, 2),
+            }
+        print(json.dumps(out))
         return
 
     omegas = opt.sample(jax.random.PRNGKey(0), M=M)

@@ -372,8 +372,45 @@ class SAATrajOpt:
         consts = {"model": self.model.consts(), "p_diag_u": self.p_diag_u}
         return self._solve_jit(omegas, alpha, consts, M)
 
+    # -- many independent instances: on-device serial scheduler -------------
+    def solve_many(self, omegas, alphas, M: Optional[int] = None) -> SCPResult:
+        """Solve B independent problem instances inside ONE jitted program:
+        `lax.scan` over the leading instance axis (the reference's alpha x
+        repeat sweep axis, drone_risk.py:498-503, solved serially there).
+
+        This is the large-M batched-problem scheduler. Lockstep `vmap`
+        batching pays off where per-solve latency dominates (small M: 2.7-3x
+        at M=50), but at M=1000 the ADMM iteration is HBM-bandwidth-bound
+        (4 G-sweeps x 15.1 MB/iter at ~819 GB/s) so running B instances in
+        lockstep cannot beat serial — and vmap makes every instance pay the
+        max iteration count over the batch. Scanning instead runs each
+        instance at its OWN convergence schedule with zero per-instance
+        dispatch/host round-trips, matching serial aggregate throughput
+        while keeping the whole sweep a single XLA program.
+
+        `omegas` leaves carry a leading (B, ...) axis; `alphas` is (B,)
+        (per-instance risk levels — one compile covers the whole sweep).
+        Returns an SCPResult with a leading (B, ...) axis on every field."""
+        if M is None:
+            M = jax.tree.leaves(omegas)[0].shape[1]
+        alphas = jnp.asarray(alphas, self.dtype)
+        consts = {"model": self.model.consts(), "p_diag_u": self.p_diag_u}
+        return self._solve_many_jit(omegas, alphas, consts, M)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _solve_many_jit(self, omegas, alphas, consts, M: int) -> SCPResult:
+        def body(_, inp):
+            om_i, a_i = inp
+            return 0, self._solve_core(om_i, a_i, consts, M)
+
+        _, results = jax.lax.scan(body, 0, (omegas, alphas))
+        return results
+
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _solve_jit(self, omegas, alpha, consts, M: int) -> SCPResult:
+        return self._solve_core(omegas, alpha, consts, M)
+
+    def _solve_core(self, omegas, alpha, consts, M: int) -> SCPResult:
         omegas = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), omegas)
         st = self._static_for(M)
         model = self.model.bind(

@@ -149,3 +149,37 @@ def test_rho_warm_start_solves_equivalently():
         assert bool(np.all(np.asarray(res.qp_solved)))
         sols[rw] = np.asarray(res.us)
     np.testing.assert_allclose(sols[True], sols[False], rtol=5e-3, atol=5e-3)
+
+
+def test_solve_many_matches_per_instance_solves():
+    """solve_many (the jitted scan-over-instances scheduler, the TPU-native
+    answer to the reference's serially-solved alpha x repeat sweeps,
+    drone_risk.py:498-503) must be BIT-IDENTICAL to solving each instance
+    independently — each instance runs at its own convergence schedule,
+    unlike lockstep vmap."""
+    opt = SAATrajOpt(
+        DroneModel(DroneScenario()),
+        method="saa",
+        scp_cfg=SCPConfig(
+            num_iters=5, gate_iters=2, gate_row_scale=1e-7,
+            gate_bound_l=-0.1, gate_bound_u=0.1,
+        ),
+    )
+    B, M = 3, 10
+    oms = [opt.sample(jax.random.PRNGKey(i), M=M) for i in range(B)]
+    alphas = [0.1, 0.2, 0.3]
+    om_st = jax.tree.map(lambda *xs: jnp.stack(xs), *oms)
+    res_many = opt.solve_many(om_st, alphas)
+    assert res_many.us.shape == (B, opt.model.S, opt.model.n_u)
+    assert res_many.qp_iters.shape == (B, 5)
+    for i in range(B):
+        r = opt.solve(oms[i], alphas[i])
+        np.testing.assert_array_equal(
+            np.asarray(r.us), np.asarray(res_many.us[i])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r.qp_iters), np.asarray(res_many.qp_iters[i])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r.qp_solved), np.asarray(res_many.qp_solved[i])
+        )

@@ -283,6 +283,16 @@ class SAATrajOpt:
                 interpret=self.pallas_interpret, rho0=rho0,
             )
         elif self.qp_backend == "hybrid-prox":
+            # demoted out of the public backend set: at the flagship size
+            # (M=1000/f32) the proximal rescue lands off the warm iterate's
+            # face (2/15 QPs certified, MC cost 22 vs 0.48) — the certified
+            # tight-tolerance configuration is 'admm-ir'
+            raise ValueError(
+                "'hybrid-prox' is experimental and fails at M=1000/f32; "
+                "use qp_backend='admm-ir' for certified tight tolerances, "
+                "or opt into the experimental backend as '_hybrid-prox'"
+            )
+        elif self.qp_backend == "_hybrid-prox":
             # Golden-branch rescue for the post-gating transition QPs.
             # Warm-started ADMM follows the reference's OSQP solution branch
             # but needs >20k f32 iterations to push the dual residual

@@ -183,3 +183,28 @@ def test_solve_many_matches_per_instance_solves():
         np.testing.assert_array_equal(
             np.asarray(r.qp_solved), np.asarray(res_many.qp_solved[i])
         )
+
+
+def test_hybrid_prox_demoted_to_experimental():
+    """'hybrid-prox' fails at the flagship size (M=1000/f32: rescue IPM
+    lands off the warm face) — the public name must raise with guidance,
+    while the underscore-prefixed experimental opt-in still solves."""
+    import pytest
+
+    scp_cfg = SCPConfig(
+        num_iters=3, gate_iters=1, gate_row_scale=1e-7,
+        gate_bound_l=-0.1, gate_bound_u=0.1,
+    )
+    opt = SAATrajOpt(
+        DroneModel(DroneScenario()), method="saa", scp_cfg=scp_cfg,
+        qp_backend="hybrid-prox",
+    )
+    om = opt.sample(jax.random.PRNGKey(0), M=6)
+    with pytest.raises(ValueError, match="admm-ir"):
+        opt.solve(om, 0.2)
+    opt_exp = SAATrajOpt(
+        DroneModel(DroneScenario()), method="saa", scp_cfg=scp_cfg,
+        qp_backend="_hybrid-prox",
+    )
+    res = opt_exp.solve(om, 0.2)
+    assert bool(jnp.all(res.qp_solved))

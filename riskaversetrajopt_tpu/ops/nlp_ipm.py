@@ -70,6 +70,27 @@ class NLPConfig(NamedTuple):
     # accept-test DIFFERENCE in ds arithmetic (ops/dsjit). Off by default
     # (f64 needs none).
     merit_compensated: bool = False
+    # Compensated (double-single) iterative refinement rounds on the
+    # augmented-KKT LU solve: each round recomputes the residual
+    # rhs - K @ sol in double-single arithmetic (ops/dsjit.dot2) and
+    # accumulates the solution itself as a ds pair, so the Newton
+    # direction's accuracy is limited by the EQUILIBRATED condition number
+    # times eps^2 instead of eps — the f32 direction error (~1e-3 relative
+    # on the hopper's cond~1e8 system even after Ruiz) is what steers the
+    # cold f32 solve into wrong basins of the nonconvex contact problem.
+    # 0 = off (f64 needs none). Use together with kkt_ruiz_iters: without
+    # equilibration the per-round contraction factor cond*eps exceeds 1
+    # and refinement cannot converge.
+    kkt_ds_refine_iters: int = 0
+    # Step damping for the first `damp_iters` barrier iterations: cap the
+    # fraction-to-boundary primal step at `damp_max`. The cold hopper
+    # solve commits to a basin in its first few large barrier steps; in
+    # reduced precision those steps are taken along directions with the
+    # largest relative error of the whole solve (huge mu, cond peak), so
+    # bounding them keeps the early iterates inside the basin the exact
+    # path would take. 0 = off.
+    damp_iters: int = 0
+    damp_max: float = 0.1
     # Second-order correction (IPOPT sec 2.4 / Wachter-Biegler eq. 27): when
     # the full trial step is rejected, re-solve the SAME KKT factorization
     # with the equality rhs replaced by the SOC residual
@@ -377,8 +398,23 @@ def solve_nlp(
 
         def solve_kkt(rhs_full):
             sol = lu_apply(rhs_full)
-            # one step of iterative refinement against the ORIGINAL system
-            return sol + lu_apply(rhs_full - K @ sol)
+            if cfg.kkt_ds_refine_iters <= 0:
+                # one step of iterative refinement against the ORIGINAL system
+                return sol + lu_apply(rhs_full - K @ sol)
+            # compensated refinement (see NLPConfig.kkt_ds_refine_iters):
+            # ds-accurate residual + ds-accumulated solution
+            from riskaversetrajopt_tpu.ops import dsjit as dsa
+
+            sh, sl = sol, jnp.zeros_like(sol)
+            for _ in range(cfg.kkt_ds_refine_iters):
+                kh, kl = dsa.dot2(K, sh)
+                kl = kl + K @ sl
+                rh, rl = dsa.ds_add(
+                    rhs_full, jnp.zeros_like(rhs_full), -kh, -kl
+                )
+                corr = lu_apply(rh + rl)
+                sh, sl = dsa.ds_add(sh, sl, corr, jnp.zeros_like(corr))
+            return sh + sl
 
         # fraction-to-boundary
         tau_ftb = jnp.maximum(cfg.tau_min, 1.0 - s.mu)
@@ -401,6 +437,13 @@ def solve_nlp(
             a_p_max = jnp.minimum(
                 max_step(s.s_l, ds_l, has_l), max_step(s.s_u, ds_u, has_u)
             )
+            if cfg.damp_iters > 0:
+                # first-steps damping (see NLPConfig.damp_iters)
+                a_p_max = jnp.where(
+                    s.it < cfg.damp_iters,
+                    jnp.minimum(a_p_max, cfg.damp_max),
+                    a_p_max,
+                )
             a_d = jnp.minimum(
                 max_step(s.lam_l, dlam_l, has_l),
                 max_step(s.lam_u, dlam_u, has_u),

@@ -458,13 +458,17 @@ def main():
 
         # pinned to the golden-branch-certified knobs: true-residual
         # refinement, no cross-QP rho warm start (the speed-mode defaults
-        # trade branch tracking for throughput)
+        # trade branch tracking for throughput). BENCH_PARITY_REFINE_MODE
+        # exists to A/B branch-safe speed-mode wins (compensated factored
+        # formation) against the golden on hardware before promoting them.
         p_opt = make(
             iters, "admm-ir", 1e-4, 20000, eps_rel=1e-5,
             ir_cfg=IRConfig(
                 base_eps_abs=1e-4, base_eps_rel=1e-5, base_max_iter=20000
             ),
-            polish=False, refine_mode="true", rho_ws=False,
+            polish=False,
+            refine_mode=os.environ.get("BENCH_PARITY_REFINE_MODE", "true"),
+            rho_ws=False,
         )
         t_par, res_par = time_solve(p_opt, omegas, alpha, accel, 1)
         import numpy as np

@@ -456,18 +456,19 @@ def main():
     if int(os.environ.get("BENCH_PARITY", "1")) and gold is not None:
         from riskaversetrajopt_tpu.ops.qp_refine import IRConfig
 
-        # pinned to the golden-branch-certified knobs: true-residual
-        # refinement, no cross-QP rho warm start (the speed-mode defaults
-        # trade branch tracking for throughput). BENCH_PARITY_REFINE_MODE
-        # exists to A/B branch-safe speed-mode wins (compensated factored
-        # formation) against the golden on hardware before promoting them.
+        # pinned to the golden-branch-certified knobs: no cross-QP rho warm
+        # start (the speed-mode defaults trade branch tracking for
+        # throughput). Refine mode "factored" (compensated factor formation,
+        # 2 G-sweeps/iter) was A/B'd against "true" on hardware (round 4):
+        # 0.5718 vs 0.3141 solves/s with l2_vs_golden 0.0383 vs 0.0337 and
+        # 0 uncertified QPs in both — branch-safe, so it is the default.
         p_opt = make(
             iters, "admm-ir", 1e-4, 20000, eps_rel=1e-5,
             ir_cfg=IRConfig(
                 base_eps_abs=1e-4, base_eps_rel=1e-5, base_max_iter=20000
             ),
             polish=False,
-            refine_mode=os.environ.get("BENCH_PARITY_REFINE_MODE", "true"),
+            refine_mode=os.environ.get("BENCH_PARITY_REFINE_MODE", "factored"),
             rho_ws=False,
         )
         t_par, res_par = time_solve(p_opt, omegas, alpha, accel, 1)

@@ -114,6 +114,12 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
                 bool(int(os.environ.get("BENCH_RHO_WS", "1")))
                 if rho_ws is None else rho_ws
             ),
+            # inexact-SCP tolerance schedule (SolverConfig.eps_sched_iters):
+            # QPs before this SCP iteration terminate at factor * eps
+            eps_sched_iters=int(os.environ.get("BENCH_EPS_SCHED_ITERS", "0")),
+            eps_sched_factor=float(
+                os.environ.get("BENCH_EPS_SCHED_FACTOR", "1.0")
+            ),
         ),
         ir_cfg=ir_cfg,
         dtype=jnp.float32,

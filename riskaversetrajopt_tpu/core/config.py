@@ -119,6 +119,16 @@ class SolverConfig:
     # comparisons stay HIGHEST regardless.
     sweep_precision: str = "highest"
     scaled_termination: bool = False
+    # Inexact-SCP tolerance schedule: SCP subproblems with
+    # scp_iter < eps_sched_iters terminate at eps_sched_factor * eps
+    # (both thresholds scaled; traced, so one compiled program serves the
+    # whole schedule). Rationale: early QPs — including the expensive
+    # post-gating transition QP, which costs 3400-7700 of a solve's ~9600
+    # ADMM iterations at M=1000 — only seed the next linearization, and the
+    # reference itself solves EVERY QP at the loose OSQP_TOL
+    # (drone_params.py:4). 0 = off (every QP at the full tolerance).
+    eps_sched_iters: int = 0
+    eps_sched_factor: float = 1.0
     # Termination-check interval backoff: when a check finds the residuals
     # >100x away from tolerance, the next check is scheduled at double the
     # interval (up to check_backoff_max * check_every), resetting to

@@ -204,12 +204,20 @@ def admm_solve(
     y0=None,
     scaling: Optional[Scaling] = None,
     rho0=None,
+    eps_scale=None,
 ) -> QPSolution:
     """Run ADMM to the OSQP termination criterion.
 
     If `scaling` is provided the iteration runs in the equilibrated space
     while termination uses unscaled residuals (OSQP scaled_termination=False
-    default); x0/y0 and the returned solution are always unscaled."""
+    default); x0/y0 and the returned solution are always unscaled.
+
+    `eps_scale` (traced scalar, default 1): multiplies both termination
+    thresholds — the inexact-SCP hook (SolverConfig.eps_sched_iters): early
+    SCP subproblems only seed the next linearization, so solving them to the
+    final tolerance buys nothing (the reference itself solves EVERY QP at
+    the loose OSQP_TOL, drone_params.py:4). Traced so one compiled program
+    serves the whole schedule."""
     dtype = q.dtype
     n = q.shape[0]
     m = l.shape[0]
@@ -237,6 +245,7 @@ def admm_solve(
     rho0 = jnp.clip(rho0, _RHO_MIN, _RHO_MAX)
     _ruf = float(getattr(cfg, "rho_update_factor", 5.0))
     q_norm_unscaled = jnp.max(jnp.abs(q))
+    eps_s = jnp.asarray(1.0 if eps_scale is None else eps_scale, dtype)
 
     factor0 = sops.factorize(rho_vector(ls, us, rho0), sigma_vec)
 
@@ -287,13 +296,13 @@ def admm_solve(
         Aty = Aty_s / (c * D)
         prim = jnp.max(jnp.abs(Ax - zu))
         dual = jnp.max(jnp.abs(Px + q + Aty))
-        eps_prim = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
+        eps_prim = eps_s * (cfg.eps_abs + cfg.eps_rel * jnp.maximum(
             jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(zu))
-        )
-        eps_dual = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
+        ))
+        eps_dual = eps_s * (cfg.eps_abs + cfg.eps_rel * jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
             q_norm_unscaled,
-        )
+        ))
         # adaptive-rho ratio uses scaled residuals (OSQP sec 5.2)
         prim_s = jnp.max(jnp.abs(Ax_s - z))
         dual_s = jnp.max(jnp.abs(Px_s + qs + Aty_s))

@@ -583,6 +583,7 @@ def solve_saa_qp(
     scale: bool = True,
     ruiz_iters: int = 5,
     rho0=None,
+    eps_scale=None,
 ) -> admm.QPSolution:
     """Solve one SCP subproblem with the structured operator."""
     ops = SAAQPOps(
@@ -594,4 +595,4 @@ def solve_saa_qp(
     l, u = build_bounds(st, data, scp_iter)
     scaling = admm.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters) if scale else None
     return admm.admm_solve(ops, q, l, u, cfg, x0=x0, y0=y0, scaling=scaling,
-                           rho0=rho0)
+                           rho0=rho0, eps_scale=eps_scale)

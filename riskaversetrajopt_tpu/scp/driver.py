@@ -219,8 +219,18 @@ class SAATrajOpt:
             x0 = warm[0] if warm is not None else None
             y0 = warm[1] if warm is not None else None
             rho0 = self._warm_rho(warm, scp_iter)
+            eps_scale = None
+            if getattr(self.admm_cfg, "eps_sched_iters", 0) > 0:
+                # inexact-SCP tolerance schedule (SolverConfig
+                # .eps_sched_iters): early subproblems terminate at
+                # factor * eps — they only seed the next linearization
+                eps_scale = jnp.where(
+                    jnp.asarray(scp_iter) < self.admm_cfg.eps_sched_iters,
+                    jnp.asarray(self.admm_cfg.eps_sched_factor, self.dtype),
+                    jnp.asarray(1.0, self.dtype),
+                )
             return solve_saa_qp(st, data, scp_iter, self.admm_cfg, x0=x0,
-                                y0=y0, rho0=rho0)
+                                y0=y0, rho0=rho0, eps_scale=eps_scale)
 
         if self.qp_backend == "ipm":
             return ipm_solve()

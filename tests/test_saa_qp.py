@@ -212,6 +212,34 @@ def test_structured_solution_matches_dense_admm(baseline):
     assert abs(o_s - o_d) <= 1e-3 * (1 + abs(o_d))
 
 
+def test_eps_scale_loosens_termination():
+    """Inexact-SCP hook (admm.admm_solve eps_scale / SolverConfig
+    .eps_sched_iters): a traced eps multiplier must loosen BOTH
+    termination thresholds — the scaled solve certifies in fewer
+    iterations, and its residuals sit within the scaled tolerance of the
+    tight solution's objective."""
+    st, data = make_problem()
+    # eps 1e-4: these degenerate epigraph QPs are LP-like and ADMM's tail
+    # is slow (see test_structured_solution_matches_dense_admm)
+    cfg = SolverConfig(eps_abs=1e-4, eps_rel=1e-4, max_iter=40000)
+    scp_iter = jnp.asarray(3)
+
+    tight = solve_saa_qp(st, data, scp_iter, cfg)
+    loose = solve_saa_qp(st, data, scp_iter, cfg,
+                         eps_scale=jnp.asarray(100.0))
+    assert bool(tight.solved) and bool(loose.solved)
+    assert int(loose.iters) < int(tight.iters)
+    # the loose solution is a genuine approximate solution: primal-feasible
+    # within the SCALED tolerance (objective closeness is NOT expected —
+    # these QPs are LP-like, so a 100x-looser dual residual moves the
+    # vertex; the SCP loop re-linearizes around it anyway)
+    A, l_d, u_d = dense_reference_A(st, data, 3)
+    Ax = A @ np.asarray(loose.x)
+    scaled_tol = 100.0 * (1e-4 + 1e-4 * max(np.max(np.abs(Ax)), 1.0))
+    assert np.max(Ax - u_d) < scaled_tol
+    assert np.max(l_d - Ax) < scaled_tol
+
+
 def test_factored_refine_mode_solves():
     """kkt_refine_mode='factored' (residual against the stored Schur blocks,
     ~zero extra HBM traffic) must still produce accurate KKT solves and a

@@ -151,6 +151,40 @@ def test_rho_warm_start_solves_equivalently():
     np.testing.assert_allclose(sols[True], sols[False], rtol=5e-3, atol=5e-3)
 
 
+def test_eps_schedule_solves_equivalently():
+    """Inexact-SCP tolerance schedule (SolverConfig.eps_sched_iters): early
+    QPs terminate at factor * eps, final-stretch QPs at the full tolerance
+    — the converged trajectory must match the unscheduled solve (the early
+    subproblems only seed re-linearizations) and every QP still certifies
+    at its (scheduled) tolerance."""
+    from riskaversetrajopt_tpu.core.config import SolverConfig
+
+    model = DroneModel(DroneScenario())
+    M = 8
+    sols = {}
+    for sched in (0, 4):
+        opt = SAATrajOpt(
+            model, method="saa",
+            scp_cfg=SCPConfig(num_iters=12, gate_iters=2,
+                              gate_row_scale=1e-7,
+                              gate_bound_l=-0.1, gate_bound_u=0.1),
+            admm_cfg=SolverConfig(eps_abs=1e-6, eps_rel=1e-6,
+                                  max_iter=20000, polish=False,
+                                  eps_sched_iters=sched,
+                                  eps_sched_factor=100.0),
+        )
+        omegas = opt.sample(jax.random.PRNGKey(0), M=M)
+        res = opt.solve(omegas, alpha=0.2)
+        assert bool(np.all(np.asarray(res.qp_solved)))
+        if sched:
+            # the schedule must actually bite: early QPs certify earlier
+            assert int(np.asarray(res.qp_iters)[2]) <= int(
+                np.asarray(sols[0][1])[2]
+            )
+        sols[sched] = (np.asarray(res.us), np.asarray(res.qp_iters))
+    np.testing.assert_allclose(sols[4][0], sols[0][0], rtol=5e-3, atol=5e-3)
+
+
 def test_solve_many_matches_per_instance_solves():
     """solve_many (the jitted scan-over-instances scheduler, the TPU-native
     answer to the reference's serially-solved alpha x repeat sweeps,

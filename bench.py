@@ -120,6 +120,10 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
             eps_sched_factor=float(
                 os.environ.get("BENCH_EPS_SCHED_FACTOR", "1.0")
             ),
+            # per-iteration Schur solve through the precomputed explicit
+            # inverse (MXU matvec) instead of 4 sequential triangular
+            # solves (SolverConfig.kkt_chol_inverse)
+            kkt_chol_inverse=bool(int(os.environ.get("BENCH_KKT_INV", "0"))),
         ),
         ir_cfg=ir_cfg,
         dtype=jnp.float32,

@@ -110,6 +110,17 @@ class SolverConfig:
     # SCP l2_final 9.3e-2 vs 5.7e-3). Kept for experimentation; leave at
     # 1 for production.
     kkt_refine_period: int = 1
+    # Apply the Schur-complement solve through a PRECOMPUTED explicit
+    # inverse (one (n+2)x(n+2) MXU matvec per solve) instead of two
+    # sequential triangular solves. On TPU solve_triangular at n+2 ~ 62 is
+    # latency-bound; with kkt_refine_iters=1 the iteration runs 4 of them,
+    # dominating the measured ~100 us/iter at M=1000 (HBM floor ~40 us).
+    # The inverse is formed once per rho epoch; its application error is
+    # the same cond(S)*eps order as the triangular solve's and the
+    # in-iteration refinement contracts both identically. Default off
+    # (OSQP-parity semantics); the bench's speed mode opts in via
+    # BENCH_KKT_INV.
+    kkt_chol_inverse: bool = False
     # MXU precision for the per-iteration G-sweeps (matvec_A / rmatvec_A in
     # ops/saa_qp.py — the einsums over the (M, K, n) Jacobian stack that
     # dominate ADMM iteration cost at M=1000). "highest" = 6-pass f32

@@ -211,7 +211,8 @@ class SAAQPOps:
 
     def __init__(self, st: SAAQPStatic, data: SAAQPData, scp_iter,
                  kkt_refine_iters=1, kkt_refine_mode="true",
-                 factorize_compensated=None, sweep_precision="highest"):
+                 factorize_compensated=None, sweep_precision="highest",
+                 kkt_chol_inverse=False):
         # kkt_refine_mode: residual operator for the in-iteration KKT
         # refinement. "true" recomputes N x through matvec_A/rmatvec_A — two
         # extra G-sweeps per pass, i.e. it doubles the HBM traffic of the
@@ -230,8 +231,21 @@ class SAAQPOps:
         # relative error) which the factored residual cannot see.
         # factorize_compensated: None = auto (on for f32, off under x64
         # where plain accumulation is already ~1e-13).
+        # kkt_chol_inverse: per-iteration Schur solve via a PRECOMPUTED
+        # explicit inverse (one (n+2, n+2) matvec on the MXU) instead of two
+        # sequential triangular solves. On TPU the 62-dim solve_triangular
+        # is a latency-bound sequential op; with refinement the kkt_solve
+        # runs FOUR of them per ADMM iteration, dominating the measured
+        # ~100 us/iter at M=1000 (the factored-mode HBM floor is ~40 us —
+        # tools/probe_instance_var.py). The inverse is formed once per rho
+        # epoch from the jittered Cholesky (cost: one 62-rhs triangular
+        # solve pair, amortized over hundreds of iterations); its
+        # cond(S)*eps application error is the same order as the
+        # triangular solve's and the in-iteration residual refinement
+        # contracts both identically.
         self.st = st
         self.kkt_refine_mode = kkt_refine_mode
+        self.kkt_chol_inverse = kkt_chol_inverse
         if st.sample_pin is not None:
             data = data._replace(
                 G=self._pin_with(st.sample_pin, data.G),
@@ -518,9 +532,19 @@ class SAAQPOps:
 
         chol0 = jnp.linalg.cholesky(S + base * scale * eye_v)
         _, chol_S = jax.lax.while_loop(jcond, jstep, (base, chol0))
+        if self.kkt_chol_inverse:
+            # explicit S^-1 for the MXU-matvec per-iteration solve (see
+            # __init__): one batched 62-rhs triangular solve pair per rho
+            # epoch replaces 4 sequential solves per ADMM iteration
+            t1 = jax.scipy.linalg.solve_triangular(chol_S, eye_v, lower=True)
+            S_op = jax.scipy.linalg.solve_triangular(
+                chol_S.T, t1, lower=False
+            )
+        else:
+            S_op = chol_S
         # N_vv rides along for the "factored" refinement mode (tiny:
         # (n+2)^2); unused by mode "true"
-        return (chol_S, C, D, beta, N_vv)
+        return (S_op, C, D, beta, N_vv)
 
     def _solve_yy(self, D, beta, r):
         """(D + beta 11^T)^-1 r via Sherman-Morrison."""
@@ -529,7 +553,7 @@ class SAAQPOps:
         return Dinv_r - (beta * jnp.sum(Dinv_r) / denom) / D
 
     def kkt_solve(self, factor, rhs, rho_vec, sigma_vec, cost_scale=1.0):
-        chol_S, C, D, beta, N_vv = factor
+        S_op, C, D, beta, N_vv = factor
         n, M = self.st.n, self.st.M
         r_u = rhs[:n]
         r_y = rhs[n : n + M]
@@ -539,8 +563,15 @@ class SAAQPOps:
         def solve_once(r_v, r_y):
             Nyy_inv_ry = self._solve_yy(D, beta, r_y)
             rhs_v = r_v - C.T @ Nyy_inv_ry
-            t1 = jax.scipy.linalg.solve_triangular(chol_S, rhs_v, lower=True)
-            v = jax.scipy.linalg.solve_triangular(chol_S.T, t1, lower=False)
+            if self.kkt_chol_inverse:
+                v = S_op @ rhs_v  # S_op = S^-1 (see factorize)
+            else:
+                t1 = jax.scipy.linalg.solve_triangular(
+                    S_op, rhs_v, lower=True
+                )
+                v = jax.scipy.linalg.solve_triangular(
+                    S_op.T, t1, lower=False
+                )
             y = self._solve_yy(D, beta, r_y - C @ v)
             return v, y
 
@@ -590,6 +621,7 @@ def solve_saa_qp(
         st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters,
         kkt_refine_mode=getattr(cfg, "kkt_refine_mode", "true"),
         sweep_precision=getattr(cfg, "sweep_precision", "highest"),
+        kkt_chol_inverse=getattr(cfg, "kkt_chol_inverse", False),
     )
     _, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)

@@ -212,6 +212,24 @@ def test_structured_solution_matches_dense_admm(baseline):
     assert abs(o_s - o_d) <= 1e-3 * (1 + abs(o_d))
 
 
+def test_kkt_chol_inverse_mode_matches():
+    """kkt_chol_inverse (SolverConfig): the per-iteration Schur solve via
+    the precomputed explicit inverse must certify and land on the same
+    solution as the triangular-solve path (the in-iteration refinement
+    contracts both application errors identically)."""
+    st, data = make_problem()
+    scp_iter = jnp.asarray(3)
+    base = SolverConfig(eps_abs=1e-4, eps_rel=1e-4, max_iter=40000)
+    inv = SolverConfig(eps_abs=1e-4, eps_rel=1e-4, max_iter=40000,
+                       kkt_chol_inverse=True)
+    s_b = solve_saa_qp(st, data, scp_iter, base)
+    s_i = solve_saa_qp(st, data, scp_iter, inv)
+    assert bool(s_b.solved) and bool(s_i.solved)
+    np.testing.assert_allclose(
+        np.asarray(s_i.x), np.asarray(s_b.x), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_eps_scale_loosens_termination():
     """Inexact-SCP hook (admm.admm_solve eps_scale / SolverConfig
     .eps_sched_iters): a traced eps multiplier must loosen BOTH

@@ -55,7 +55,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
-         polish=None, refine_mode=None, rho_ws=None):
+         polish=None, refine_mode=None, rho_ws=None, kkt_inv=None):
     from riskaversetrajopt_tpu.core.config import (
         DroneScenario,
         SCPConfig,
@@ -122,8 +122,14 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
             ),
             # per-iteration Schur solve through the precomputed explicit
             # inverse (MXU matvec) instead of 4 sequential triangular
-            # solves (SolverConfig.kkt_chol_inverse)
-            kkt_chol_inverse=bool(int(os.environ.get("BENCH_KKT_INV", "0"))),
+            # solves (SolverConfig.kkt_chol_inverse). Speed-mode default ON:
+            # hardware A/B at M=1000 measured 0.265 vs 0.290 s/solve at
+            # identical iteration counts with MC quality inside the branch-
+            # variance band (cost 0.506 vs 0.498, golden 0.476).
+            kkt_chol_inverse=(
+                bool(int(os.environ.get("BENCH_KKT_INV", "1")))
+                if kkt_inv is None else kkt_inv
+            ),
         ),
         ir_cfg=ir_cfg,
         dtype=jnp.float32,
@@ -480,6 +486,9 @@ def main():
             polish=False,
             refine_mode=os.environ.get("BENCH_PARITY_REFINE_MODE", "factored"),
             rho_ws=False,
+            # parity keeps the triangular Schur application until the
+            # inverse path is A/B'd for golden-branch drift
+            kkt_inv=bool(int(os.environ.get("BENCH_PARITY_KKT_INV", "0"))),
         )
         t_par, res_par = time_solve(p_opt, omegas, alpha, accel, 1)
         import numpy as np

@@ -266,8 +266,11 @@ def admm_solve(
         _inner0.kkt_refine_iters = 0
         sops0 = _inner0 if scaling is None else ScaledOps(_inner0, scaling)
 
-    def one_iter(x, z, y, rho, factor, refine_now=None):
-        rv = rho_vector(ls, us, rho)
+    def one_iter(x, z, y, rv, factor, refine_now=None):
+        # rv = rho_vector(ls, us, rho) is loop-invariant within the
+        # fixed-rho inner loop — hoisted to the caller (the where-chain
+        # over the (m,) bounds costs small-op latency every iteration and
+        # XLA does not reliably lift it out of the dynamic-trip fori)
         rhs = sigma_vec * x - qs + sops.rmatvec_A(rv * z - y)
         if refine_now is None:
             xt = sops.kkt_solve(factor, rhs, rv, sigma_vec)
@@ -379,10 +382,12 @@ def admm_solve(
         carried-factor copies a conditional refactorization would force."""
 
         def body(s: _State):
+            rv = rho_vector(ls, us, s.rho)  # fixed within this inner loop
+
             def inner(j, xzy):
                 x, z, y = xzy
                 refine_now = ((s.it + j) % period == 0) if two_path else None
-                return one_iter(x, z, y, s.rho, factor, refine_now)
+                return one_iter(x, z, y, rv, factor, refine_now)
 
             x, z, y = lax.fori_loop(0, s.interval, inner, (s.x, s.z, s.y))
             prim, dual, eps_prim, eps_dual, ratio = residuals(x, z, y)

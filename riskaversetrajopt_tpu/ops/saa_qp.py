@@ -542,18 +542,26 @@ class SAAQPOps:
             )
         else:
             S_op = chol_S
+        # Sherman-Morrison denominator 1 + beta * sum(1/D): loop-invariant
+        # per factorization; with kkt_refine_iters=1 the iteration calls
+        # _solve_yy 8x, and each (M,)-reduction is pure latency on TPU
+        denom_yy = 1.0 + beta * jnp.sum(1.0 / D)
         # N_vv rides along for the "factored" refinement mode (tiny:
         # (n+2)^2); unused by mode "true"
-        return (S_op, C, D, beta, N_vv)
+        return (S_op, C, D, beta, N_vv, denom_yy)
 
-    def _solve_yy(self, D, beta, r):
-        """(D + beta 11^T)^-1 r via Sherman-Morrison."""
+    def _solve_yy(self, D, beta, r, denom=None):
+        """(D + beta 11^T)^-1 r via Sherman-Morrison. `denom` (the scalar
+        1 + beta sum(1/D)) is precomputed at factorization when available —
+        bitwise the same value, computed once per rho epoch instead of on
+        every call in the hot loop."""
         Dinv_r = r / D
-        denom = 1.0 + beta * jnp.sum(1.0 / D)
+        if denom is None:
+            denom = 1.0 + beta * jnp.sum(1.0 / D)
         return Dinv_r - (beta * jnp.sum(Dinv_r) / denom) / D
 
     def kkt_solve(self, factor, rhs, rho_vec, sigma_vec, cost_scale=1.0):
-        S_op, C, D, beta, N_vv = factor
+        S_op, C, D, beta, N_vv, denom_yy = factor
         n, M = self.st.n, self.st.M
         r_u = rhs[:n]
         r_y = rhs[n : n + M]
@@ -561,7 +569,7 @@ class SAAQPOps:
         r_v = jnp.concatenate([r_u, r_st])
 
         def solve_once(r_v, r_y):
-            Nyy_inv_ry = self._solve_yy(D, beta, r_y)
+            Nyy_inv_ry = self._solve_yy(D, beta, r_y, denom_yy)
             rhs_v = r_v - C.T @ Nyy_inv_ry
             if self.kkt_chol_inverse:
                 v = S_op @ rhs_v  # S_op = S^-1 (see factorize)
@@ -572,7 +580,7 @@ class SAAQPOps:
                 v = jax.scipy.linalg.solve_triangular(
                     S_op.T, t1, lower=False
                 )
-            y = self._solve_yy(D, beta, r_y - C @ v)
+            y = self._solve_yy(D, beta, r_y - C @ v, denom_yy)
             return v, y
 
         def residual_true(x):

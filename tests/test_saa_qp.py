@@ -320,15 +320,15 @@ def test_compensated_factorize_f32():
 
     # oracle: x64 formation from the identical f32-rounded inputs
     ops64 = SAAQPOps(st, f64(data32), scp_iter)
-    _, C64, D64, beta64, Nvv64 = ops64.factorize(
+    _, C64, D64, beta64, Nvv64, _ = ops64.factorize(
         rho32.astype(jnp.float64), sigma32.astype(jnp.float64)
     )
 
     ops_c = SAAQPOps(st, data32, scp_iter)  # auto: compensated for f32
     assert ops_c.factorize_compensated
     ops_p = SAAQPOps(st, data32, scp_iter, factorize_compensated=False)
-    _, C_c, D_c, _, Nvv_c = ops_c.factorize(rho32, sigma32)
-    _, C_p, D_p, _, Nvv_p = ops_p.factorize(rho32, sigma32)
+    _, C_c, D_c, _, Nvv_c, _ = ops_c.factorize(rho32, sigma32)
+    _, C_p, D_p, _, Nvv_p, _ = ops_p.factorize(rho32, sigma32)
 
     def relerr(a, ref):
         ref = np.asarray(ref)

@@ -521,7 +521,13 @@ def main():
             # inverse path is A/B'd for golden-branch drift
             kkt_inv=bool(int(os.environ.get("BENCH_PARITY_KKT_INV", "0"))),
         )
-        t_par, res_par = time_solve(p_opt, omegas, alpha, accel, 1)
+        # median of 3: the parity solve's base-iteration count is
+        # branch-sensitive across perturbed instances (measured 1.75-2.21 s
+        # on single-instance legs)
+        t_par, res_par = time_solve(
+            p_opt, omegas, alpha, accel,
+            int(os.environ.get("BENCH_PARITY_REPEATS", "3")),
+        )
         import numpy as np
 
         us_p = np.asarray(res_par.us)

@@ -115,8 +115,13 @@ def make(num_iters, backend, eps, max_iter, eps_rel=None, ir_cfg=None,
                 if rho_ws is None else rho_ws
             ),
             # inexact-SCP tolerance schedule (SolverConfig.eps_sched_iters):
-            # QPs before this SCP iteration terminate at factor * eps
-            eps_sched_iters=int(os.environ.get("BENCH_EPS_SCHED_ITERS", "0")),
+            # QPs before this SCP iteration terminate at factor * eps.
+            # admm-only (the driver rejects it on other backends, which
+            # would silently ignore the traced eps multiplier)
+            eps_sched_iters=(
+                int(os.environ.get("BENCH_EPS_SCHED_ITERS", "0"))
+                if backend == "admm" else 0
+            ),
             eps_sched_factor=float(
                 os.environ.get("BENCH_EPS_SCHED_FACTOR", "1.0")
             ),
@@ -302,16 +307,21 @@ def scaling_mode(opt, M, iters, repeats, max_devices):
             place(_perturb(omegas)), a
         )  # compile + warm (perturbed: see _perturb on the result cache)
         _np.asarray(res.us)
-        times = []
+        # (t, iters) recorded PER INSTANCE and selected as a pair: the
+        # perturbed instances' iteration counts are branch-sensitive (up
+        # to ~3x spread), so pairing the median time with another
+        # instance's count would corrupt us-per-iteration
+        pairs = []
         for _ in range(repeats):
             om = place(_perturb(omegas))
             t0 = time.perf_counter()
             res = opt.solve(om, a)
             _np.asarray(res.us)
-            times.append(time.perf_counter() - t0)
-        times.sort()
-        t = times[len(times) // 2]
-        total_iters = int(sum(res.qp_iters.tolist()))
+            pairs.append(
+                (time.perf_counter() - t0, int(sum(res.qp_iters.tolist())))
+            )
+        pairs.sort()
+        t, total_iters = pairs[len(pairs) // 2]
         rows.append((n, t, total_iters))
         print(f"[bench-scaling] devices={n} t={t:.4f}s "
               f"solves/s={1.0/t:.4f} total_qp_iters={total_iters}",
@@ -517,9 +527,12 @@ def main():
             polish=False,
             refine_mode=os.environ.get("BENCH_PARITY_REFINE_MODE", "factored"),
             rho_ws=False,
-            # parity keeps the triangular Schur application until the
-            # inverse path is A/B'd for golden-branch drift
-            kkt_inv=bool(int(os.environ.get("BENCH_PARITY_KKT_INV", "0"))),
+            # inverse Schur application promoted for parity too (round-4
+            # honest A/B after wiring it through solve_saa_qp_ir — the
+            # first A/B ran on a silent no-op): 0.6959 vs 0.4535 solves/s
+            # median-of-3, l2_vs_golden 0.0349 vs 0.0383, 0 uncertified,
+            # MC cost 0.4763 vs golden 0.4756
+            kkt_inv=bool(int(os.environ.get("BENCH_PARITY_KKT_INV", "1"))),
         )
         # median of 3: the parity solve's base-iteration count is
         # branch-sensitive across perturbed instances (measured 1.75-2.21 s

@@ -312,7 +312,8 @@ def solve_saa_qp_ir(
     """Structured ADMM + iterative refinement to cfg.eps_abs/eps_rel."""
     ops = SAAQPOps(st, data, scp_iter, kkt_refine_iters=cfg.kkt_refine_iters,
                    kkt_refine_mode=getattr(cfg, "kkt_refine_mode", "true"),
-                   sweep_precision=getattr(cfg, "sweep_precision", "highest"))
+                   sweep_precision=getattr(cfg, "sweep_precision", "highest"),
+                   kkt_chol_inverse=getattr(cfg, "kkt_chol_inverse", False))
     p_diag, q = build_objective(st, data)
     l, u = build_bounds(st, data, scp_iter)
     dtype = q.dtype

@@ -132,6 +132,17 @@ class SAATrajOpt:
 
             ir_cfg = IRConfig()
         self.ir_cfg = ir_cfg
+        if (
+            getattr(self.admm_cfg, "eps_sched_iters", 0) > 0
+            and qp_backend != "admm"
+        ):
+            # the inexact-SCP schedule threads a traced eps multiplier into
+            # ops/admm.admm_solve; the IR and pallas backends run their own
+            # termination and would silently ignore it — fail loudly
+            raise ValueError(
+                "SolverConfig.eps_sched_iters is only implemented for the "
+                f"'admm' backend (got {qp_backend!r})"
+            )
         # 'hybrid-prox' backend knobs: per-leg ADMM iteration bound and the
         # proximal weight of the branch-preserving rescue IPM
         self.hybrid_cap = hybrid_cap

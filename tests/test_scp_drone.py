@@ -185,6 +185,22 @@ def test_eps_schedule_solves_equivalently():
     np.testing.assert_allclose(sols[4][0], sols[0][0], rtol=5e-3, atol=5e-3)
 
 
+def test_eps_schedule_rejected_on_non_admm_backends():
+    """The inexact-SCP schedule threads a traced eps multiplier into the
+    'admm' backend only; other backends would silently ignore it, so the
+    driver must fail loudly at construction."""
+    import pytest
+
+    from riskaversetrajopt_tpu.core.config import SolverConfig
+
+    model = DroneModel(DroneScenario())
+    with pytest.raises(ValueError, match="eps_sched_iters"):
+        SAATrajOpt(
+            model, method="saa", qp_backend="admm-ir",
+            admm_cfg=SolverConfig(eps_sched_iters=3, eps_sched_factor=10.0),
+        )
+
+
 def test_solve_many_matches_per_instance_solves():
     """solve_many (the jitted scan-over-instances scheduler, the TPU-native
     answer to the reference's serially-solved alpha x repeat sweeps,

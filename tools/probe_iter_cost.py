@@ -14,7 +14,6 @@ included). Variants toggle one knob each:
 Usage: python tools/probe_iter_cost.py [variant ...]
 """
 
-import dataclasses
 import os
 import sys
 import time
@@ -75,9 +74,6 @@ def main():
         gate_l=-0.1, gate_u=0.1,
     )
 
-    solve = jax.jit(
-        lambda d, cfg_key: None  # placeholder, per-variant jits below
-    )
     for name in names:
         cfg = SolverConfig(**{**BASE, **VARIANTS[name]})
         f = jax.jit(

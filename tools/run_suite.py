@@ -39,6 +39,11 @@ def run_file(path, marker, timeout):
     except subprocess.TimeoutExpired as e:
         rc, out = 124, (e.stdout or b"").decode(errors="replace")
     wall = time.time() - t0
+    if rc == 5:
+        # pytest exit 5 = no tests collected/selected (e.g. a slow-only
+        # file under -m 'not slow') — an empty file is a clean pass, not
+        # a crash to retry or a red suite
+        rc = 0
     tail = out.strip().splitlines()[-1] if out.strip() else ""
     counts = dict(
         (k, int(v))

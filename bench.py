@@ -326,18 +326,22 @@ def scaling_mode(opt, M, iters, repeats, max_devices):
         print(f"[bench-scaling] devices={n} t={t:.4f}s "
               f"solves/s={1.0/t:.4f} total_qp_iters={total_iters}",
               file=sys.stderr)
-    t1 = rows[0][1]
+    # Efficiency/speedup are only meaningful against a 1-device baseline;
+    # with BENCH_SCALING_COUNTS not starting at 1, report null rather than
+    # a number silently keyed to whatever count ran first (ADVICE r4).
+    n0, t1 = rows[0][0], rows[0][1]
     tN = rows[-1][1]
     N = rows[-1][0]
-    eff = t1 / (N * tN)
+    have_base = n0 == 1
+    eff = t1 / (N * tN) if have_base else None
     print(
         json.dumps(
             {
                 "metric": f"drone_risk SCP strong-scaling efficiency "
-                          f"(M={M}, {iters} iters, 1->{N} devices)",
-                "value": round(eff, 4),
+                          f"(M={M}, {iters} iters, {n0}->{N} devices)",
+                "value": round(eff, 4) if have_base else None,
                 "unit": "efficiency",
-                "vs_baseline": round(t1 / tN, 3),
+                "vs_baseline": round(t1 / tN, 3) if have_base else None,
                 "table": [
                     {"devices": n, "seconds": round(t, 4),
                      "total_qp_iters": it} for n, t, it in rows

@@ -75,6 +75,10 @@ def main(argv=None):
         # iterations than the undamped reference workflow (IPOPT tol=1e-3 /
         # max_iter=3000, hopper/hopper.py:642-643, needs ~2770).
         base_tol = min(args.tol, 1e-4) if args.damp_iters > 0 else args.tol
+        if base_tol != args.tol:
+            print(f"[hopper] note: baseline tol tightened {args.tol:g} -> "
+                  f"{base_tol:g} (damped path certifies prematurely at "
+                  f"looser tol; pass --damp-iters 0 to keep --tol)")
         res, xs, us = solve_phase(
             model, field_base, "baseline", 0.1, Z0, base_tol, args.max_iter,
             damp_iters=args.damp_iters, damp_max=args.damp_max,

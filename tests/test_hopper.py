@@ -175,7 +175,11 @@ def test_cold_baseline_damped_converges_fast():
                               damp_iters=50, damp_max=0.1))
     assert bool(res.solved)
     xs, us, ys, slack, t_risk = model.split_z(res.Z)
-    assert abs(float(xs[-1, 0]) - 1.053) < 0.05  # the reference basin
+    # Guard the BASIN, not the exact jump value: the failure modes this
+    # test exists to catch land at jump ~0.03 / ~0.54 (wrong basins), so
+    # jump > 0.9 distinguishes them while tolerating benign numerical
+    # drift across jaxlib versions (ADVICE r4).
+    assert float(xs[-1, 0]) > 0.9  # the reference jump-1.053 basin
 
 
 def test_f32_cold_baseline_damped_true_dtype():

@@ -147,6 +147,10 @@ class SolverConfig:
     # sweeps at M=1000, so long transition solves spend less on checking.
     # 1 = off (check every check_every iterations, OSQP default behavior).
     check_backoff_max: int = 1
+    # 'admm-ds' backend only: compensated-true-residual refinement rounds
+    # applied to each KKT solve on top of the f32 factor (each round costs
+    # 2 ds Jacobian sweeps and contracts the solve error by ~cond(S)*eps).
+    ds_kkt_passes: int = 1
 
 
 @dataclass(frozen=True)

@@ -98,6 +98,18 @@ def ds_mul(h1, l1, h2, l2):
     return quick_two_sum(p, e + h1 * l2 + l1 * h2)
 
 
+def ds_div(h, l, d):
+    """(h, l) / d for an exact (array/scalar) divisor d.
+
+    One Newton correction of the f32 quotient: q0 = fl(h/d); the residual
+    h + l - q0*d is formed exactly via two_prod (h - p is exact by
+    Sterbenz' lemma since p ~ h), giving ~eps^2-relative accuracy."""
+    q0 = _ob(h / d)
+    p, e = two_prod(q0, d)
+    r = ((h - p) - e) + l
+    return quick_two_sum(q0, r / d)
+
+
 def ds_round(h, l):
     """Best single-float representation of (h, l)."""
     return h + l

@@ -149,28 +149,33 @@ def _ds_matvec_A(ops: SAAQPOps, x_h, x_l):
     return h, lo
 
 
-def _ds_rmatvec_A(ops: SAAQPOps, w):
-    """Compensated rmatvec_A of a plain-f32 dual vector w."""
+def _ds_rmatvec_A(ops: SAAQPOps, w, w_lo=None):
+    """Compensated rmatvec_A of a dual vector w; pass `w_lo` for a full
+    double-single (w, w_lo) input (ops/admm_ds.py), else w is plain f32."""
     st, sc = ops.st, ops.scales
     w_f, w_c, w_y, w_G, w_s, w_u = ops._split_w(w)
+    if w_lo is None:
+        w_lo = jnp.zeros_like(w)
+    wl_f, wl_c, wl_y, wl_G, wl_s, wl_u = ops._split_w(w_lo)
 
     gm_h, gm_l = ds.two_prod(sc.g, ops.m)
     wg_h, wg_l = ds.ds_mul(
         jnp.broadcast_to(gm_h, w_G.shape), jnp.broadcast_to(gm_l, w_G.shape),
-        w_G, jnp.zeros_like(w_G),
+        w_G, wl_G,
     )
 
     # u part: F^T w_f + einsum(G, wG) + w_u
     ph, pe = ds.two_prod(ops.data.F, w_f[:, None])
+    pe = pe + ops.data.F * wl_f[:, None]
     ftw_h, ftw_l = ds.ds_sum(ph, pe, axis=0)
     gtw_h, gtw_l = ds.contract_mkn_mk(ops.data.G, wg_h, wg_l)
     u_h, u_l = ds.ds_add(ftw_h, ftw_l, gtw_h, gtw_l)
-    u_h, u_l = ds.ds_add(u_h, u_l, w_u, jnp.zeros_like(w_u))
+    u_h, u_l = ds.ds_add(u_h, u_l, w_u, wl_u)
 
     rows_h, rows_l = ds.ds_sum(wg_h, wg_l, axis=1)  # (M,)
 
-    cw_h, cw_l = ds.two_prod(sc.c, w_c)
-    yw_h, yw_l = ds.two_prod(sc.y, w_y)
+    cw_h, cw_l = ds.ds_scale(w_c, wl_c, sc.c)
+    yw_h, yw_l = ds.ds_scale(w_y, wl_y, sc.y)
     gy_rows_h, gy_rows_l = ds.ds_scale(rows_h, rows_l, sc.gy)
     y_h, y_l = ds.ds_add(
         jnp.broadcast_to(cw_h, (st.M,)), jnp.broadcast_to(cw_l, (st.M,)),
@@ -179,7 +184,7 @@ def _ds_rmatvec_A(ops: SAAQPOps, w):
     y_h, y_l = ds.ds_add(y_h, y_l, -gy_rows_h, -gy_rows_l)
 
     syw_h, syw_l = ds.ds_sum(yw_h, yw_l, axis=0)
-    sw_h, sw_l = ds.two_prod(sc.s, w_s)
+    sw_h, sw_l = ds.ds_scale(w_s, wl_s, sc.s)
     s_h, s_l = ds.ds_add(cw_h, cw_l, -syw_h, -syw_l)
     s_h, s_l = ds.ds_add(s_h, s_l, -sw_h, -sw_l)
 

@@ -262,6 +262,22 @@ class SAATrajOpt:
                 st, data, scp_iter, self.admm_cfg, ir=self.ir_cfg,
                 x0=x0, y0=y0,
             )
+        elif self.qp_backend == "admm-ds":
+            # Double-single (compensated f32) ADMM iterates — the on-chip
+            # high-precision leg that tracks the reference's x64 solution
+            # branch through the degenerate post-gating QPs (the f32 path's
+            # ~6e-8/iter noise selects a different optimal-face point; see
+            # ops/admm_ds.py). Use with the driver's golden-parity config
+            # (eps 1e-6, polish=False, rho_warm_start=False).
+            from riskaversetrajopt_tpu.ops.admm_ds import solve_saa_qp_ds
+
+            x0 = warm[0] if warm is not None else None
+            y0 = warm[1] if warm is not None else None
+            rho0 = self._warm_rho(warm, scp_iter)
+            return solve_saa_qp_ds(
+                st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0, rho0=rho0,
+                ds_kkt_passes=getattr(self.admm_cfg, "ds_kkt_passes", 1),
+            )
         elif self.qp_backend == "admm-pallas":
             # Fused-kernel ADMM (ops/pallas/saa_admm.py): ~100x lower
             # per-iteration latency than the XLA path on a real chip.
@@ -459,7 +475,7 @@ class SAATrajOpt:
         )
         # backends whose QPSolution.rho is meaningful (ADMM family); others
         # carry the previous rho forward untouched
-        rho_backends = ("admm", "admm-pallas", "admm-pallas-f")
+        rho_backends = ("admm", "admm-ds", "admm-pallas", "admm-pallas-f")
 
         def step(carry, scp_iter):
             us_prev, warm = carry

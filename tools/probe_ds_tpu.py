@@ -1,0 +1,81 @@
+"""Probe: ds-ADMM backend at the flagship size on the real TPU.
+
+Solves drone M=1000 seed-0 alpha=0.2 (15 SCP iters) with the f32 'admm-ds'
+backend on the default accelerator and reports l2 vs the committed x64
+golden fixture, plus wall time on a perturbed (never-seen) instance.
+
+Usage: setsid nohup python tools/probe_ds_tpu.py > logs/probe_ds_tpu.log 2>&1 &
+Env: DS_PROBE_M (1000), DS_PROBE_PASSES (1), DS_PROBE_EPS (1e-6).
+"""
+
+import os
+import pathlib
+import time
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+import numpy as np
+
+from riskaversetrajopt_tpu.core.config import (
+    DroneScenario, SCPConfig, SolverConfig,
+)
+from riskaversetrajopt_tpu.models.drone import DroneModel
+from riskaversetrajopt_tpu.scp.driver import SAATrajOpt
+
+M = int(os.environ.get("DS_PROBE_M", "1000"))
+passes = int(os.environ.get("DS_PROBE_PASSES", "1"))
+eps = float(os.environ.get("DS_PROBE_EPS", "1e-6"))
+alpha = 0.2
+print(f"[probe_ds_tpu] device={jax.devices()[0]} M={M} passes={passes} "
+      f"eps={eps}", flush=True)
+
+scp_cfg = SCPConfig(num_iters=15, gate_iters=2, gate_row_scale=1e-7,
+                    gate_bound_l=-0.1, gate_bound_u=0.1)
+model = DroneModel(DroneScenario(M=M))
+om = model.sample(jax.random.PRNGKey(0), M=M)
+cfg = SolverConfig(eps_abs=eps, eps_rel=eps, max_iter=20000,
+                   polish=False, kkt_refine_iters=1, ds_kkt_passes=passes)
+opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg,
+                 qp_backend="admm-ds", admm_cfg=cfg, dtype=jnp.float32)
+
+gold_path = (pathlib.Path(__file__).resolve().parent.parent / "tests" /
+             "fixtures" / f"gold_drone_m{M}_a{alpha}_seed0_iters15.npy")
+gold = np.load(gold_path) if gold_path.exists() else None
+
+
+def perturb(omegas, e):
+    return jax.tree.map(lambda x: x * (1.0 + e), omegas)
+
+
+t0 = time.time()
+res = opt.solve(perturb(om, 1.2345e-7), alpha)  # compile + warm, never-seen
+np.asarray(res.us)
+print(f"[probe_ds_tpu] compile+first solve {time.time()-t0:.1f}s "
+      f"qp_iters={res.qp_iters.tolist()}", flush=True)
+
+# timed perturbed instances (runtime result-caches identical solves)
+times = []
+for i in range(3):
+    omi = perturb(om, (2.0 + 0.1 * i) * 1e-7)
+    t0 = time.time()
+    r = opt.solve(omi, alpha)
+    np.asarray(r.us)
+    times.append(time.time() - t0)
+    print(f"[probe_ds_tpu] perturbed solve {times[-1]:.2f}s "
+          f"iters={int(np.sum(np.asarray(r.qp_iters)))} "
+          f"solved={int(np.sum(np.asarray(r.qp_solved)))}/15", flush=True)
+
+# canonical instance for the golden comparison
+res = opt.solve(om, alpha)
+us = np.asarray(res.us)
+print(f"[probe_ds_tpu] canonical qp_iters={res.qp_iters.tolist()} "
+      f"solved={res.qp_solved.tolist()}", flush=True)
+if gold is not None:
+    err = float(np.linalg.norm(us - gold) / np.linalg.norm(gold))
+    print(f"[probe_ds_tpu] l2_vs_golden = {err:.3e}", flush=True)
+times.sort()
+print(f"[probe_ds_tpu] median perturbed solve {times[len(times)//2]:.2f}s "
+      f"({1.0/times[len(times)//2]:.3f} solves/s)", flush=True)

@@ -81,6 +81,87 @@ def test_pinned_sharded_scp_matches_unpinned():
     )
 
 
+def _collective_sizes(hlo_text):
+    """(elements, op, op_name) for every collective in compiled HLO text.
+
+    HLO lines reference operands by %name, so every shape token on a
+    collective's line belongs to its RESULT (tuple results contribute one
+    token per element); the max token is the largest array moved."""
+    import re
+
+    rows = []
+    for ln in hlo_text.splitlines():
+        m = re.search(
+            r"= \(?([a-z0-9]+\[[0-9,]*\][^)]*?)\)? "
+            r"(all-reduce|all-gather|reduce-scatter|all-to-all|"
+            r"collective-permute)\(",
+            ln,
+        )
+        if not m:
+            continue
+        elems = 0
+        for sm in re.finditer(r"[a-z][0-9]+\[([0-9,]*)\]", m.group(1)):
+            n = 1
+            for d in sm.group(1).split(","):
+                if d:
+                    n *= int(d)
+            elems = max(elems, n)
+        opn = re.search(r'op_name="([^"]*)"', ln)
+        rows.append((elems, m.group(2), opn.group(1) if opn else ""))
+    return rows
+
+
+def test_hlo_collective_audit_no_jacobian_communication():
+    """Compiled-HLO audit of the sharded SCP step (SURVEY §2.3/§5 comm
+    design): the sample-axis Schur split must keep the (M, K, n) Jacobian
+    stack G chip-local — only O(M)-by-60-wide blocks and the (n+2)^2
+    Schur block may ever be communicated.
+
+    Measured picture at M=128 on the 8-device virtual mesh: the largest
+    collectives are 8 all-gathers of exactly M*60 elements (the 60-wide
+    per-sample segment of concatenated (m,)-vectors and/or the (M, n)
+    y-v coupling block — for the drone K == n == 60 so the two classes
+    coincide), emitted at factorization epochs and termination checks,
+    NOT in the per-iteration fori body; everything else is <= the
+    (n+2)^2 = 3844-element Schur all-reduce + scalars. A change that
+    makes GSPMD gather the Jacobian stack (M*K*n elements, 60x larger)
+    fails this test."""
+    model = DroneModel(DroneScenario())
+    opt = SAATrajOpt(
+        model,
+        method="saa",
+        scp_cfg=SCPConfig(
+            num_iters=4, gate_iters=2, gate_row_scale=1e-7,
+            gate_bound_l=-0.1, gate_bound_u=0.1,
+        ),
+    )
+    M = 128
+    n = model.S * model.n_u
+    K = model.K
+    om = opt.sample(jax.random.PRNGKey(0), M=M)
+    mesh = make_mesh()
+    om_sh = shard_samples(om, mesh)
+    consts = {"model": opt.model.consts(), "p_diag_u": opt.p_diag_u}
+    compiled = opt._solve_jit.lower(
+        opt, om_sh, jnp.asarray(0.2, opt.dtype), consts, M
+    ).compile()
+    rows = _collective_sizes(compiled.as_text())
+
+    assert rows, "partitioned program contains no collectives at all?"
+    # every above-Schur-block collective must be one of the 60-wide
+    # O(M) blocks — nothing larger (e.g. (M, K, n) G-shards, (M, K+2)
+    # stacked blocks) may be communicated
+    cap = M * max(K, n)
+    big = [r for r in rows if r[0] > (n + 2) ** 2]
+    bad = [r for r in big if r[0] > cap]
+    assert not bad, f"unexpected large collectives: {bad[:5]}"
+    # hard bound: nothing in the class of a per-device G shard
+    g_shard = (M // 8) * K * n
+    assert all(r[0] < g_shard for r in rows), (
+        "a collective moves G-class data"
+    )
+
+
 def test_batched_alpha_sweep_vmap():
     """The (alpha x repeat) sweep solved as one batched computation — the
     reference loops serially over 4 alphas x 30 repeats

@@ -407,17 +407,58 @@ class SAATrajOpt:
         raise ValueError(f"unknown qp backend {self.qp_backend}")
 
     # -- full SCP solve ----------------------------------------------------
-    def solve(self, omegas, alpha, M: Optional[int] = None) -> SCPResult:
+    def solve(
+        self,
+        omegas,
+        alpha,
+        M: Optional[int] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 1,
+    ) -> SCPResult:
         """Run the full SCP loop (fixed iteration count, reference semantics:
         convergence is monitored but not used for termination,
         car/driving.py:500-513).
 
         Thin wrapper gathering the model's array constants into jit
-        ARGUMENTS (models/base.ConstBind) — vmap/jit-compatible."""
+        ARGUMENTS (models/base.ConstBind) — vmap/jit-compatible.
+
+        `checkpoint_path` enables mid-solve checkpoint/resume on this FUSED
+        path (SURVEY §5; `solve_instrumented` has the Python-loop variant):
+        every `checkpoint_every`-th SCP iteration an ordered
+        `io_callback` snapshots (iteration, us, ADMM warm starts, adapted
+        rho) to the file, and a fresh `solve` call with the same path
+        resumes the `lax.scan` at the recorded iteration with the saved
+        carry. The resumed result's per-iteration arrays (l2_errors,
+        qp_iters, ...) cover only the remaining iterations."""
         if M is None:
             M = jax.tree.leaves(omegas)[0].shape[0]
         consts = {"model": self.model.consts(), "p_diag_u": self.p_diag_u}
-        return self._solve_jit(omegas, alpha, consts, M)
+        if checkpoint_path is None:
+            return self._solve_jit(omegas, alpha, consts, M)
+        from riskaversetrajopt_tpu.utils import checkpoint as ckpt
+
+        saved = ckpt.load(checkpoint_path)
+        start_iter = 0
+        resume = None
+        if saved is not None:
+            start_iter = saved.scp_iter
+            resume = (
+                jnp.asarray(saved.us, self.dtype),
+                (
+                    jnp.asarray(saved.warm_x, self.dtype),
+                    jnp.asarray(saved.warm_y, self.dtype),
+                    jnp.asarray(
+                        self.admm_cfg.rho
+                        if saved.warm_rho is None
+                        else saved.warm_rho,
+                        self.dtype,
+                    ),
+                ),
+            )
+        return self._solve_ckpt_jit(
+            omegas, alpha, consts, M, start_iter,
+            str(checkpoint_path), int(checkpoint_every), resume,
+        )
 
     # -- many independent instances: on-device serial scheduler -------------
     def solve_many(self, omegas, alphas, M: Optional[int] = None) -> SCPResult:
@@ -457,7 +498,20 @@ class SAATrajOpt:
     def _solve_jit(self, omegas, alpha, consts, M: int) -> SCPResult:
         return self._solve_core(omegas, alpha, consts, M)
 
-    def _solve_core(self, omegas, alpha, consts, M: int) -> SCPResult:
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
+    def _solve_ckpt_jit(
+        self, omegas, alpha, consts, M, start_iter, ckpt_path, ckpt_every,
+        resume,
+    ) -> SCPResult:
+        return self._solve_core(
+            omegas, alpha, consts, M, start_iter=start_iter,
+            ckpt=(ckpt_path, ckpt_every), resume=resume,
+        )
+
+    def _solve_core(
+        self, omegas, alpha, consts, M: int, start_iter: int = 0,
+        ckpt=None, resume=None,
+    ) -> SCPResult:
         omegas = jax.tree.map(lambda x: jnp.asarray(x, self.dtype), omegas)
         st = self._static_for(M)
         model = self.model.bind(
@@ -473,6 +527,8 @@ class SAATrajOpt:
             jnp.zeros(st_total_rows(st), self.dtype),
             jnp.asarray(self.admm_cfg.rho, self.dtype),
         )
+        if resume is not None:
+            us0, warm0 = resume
         # backends whose QPSolution.rho is meaningful (ADMM family); others
         # carry the previous rho forward untouched
         rho_backends = ("admm", "admm-ds", "admm-pallas", "admm-pallas-f")
@@ -490,6 +546,29 @@ class SAATrajOpt:
             )
             us = sol.x[:n].reshape(model.S, model.n_u)
             l2 = l2_error_us(us, us_prev)
+            if ckpt is not None:
+                # ordered host snapshot of the scan carry (SURVEY §5
+                # checkpoint/resume on the fused path); the host callback
+                # drops off-cadence iterations, so the device pays one
+                # small D2H per SCP iteration, not per-file-write
+                path, every = ckpt
+                num_iters = self.scp_cfg.num_iters
+
+                def _snap(it, us_v, wx, wy, rho_v):
+                    it = int(it)
+                    if it % int(every) == 0 or it == num_iters:
+                        from riskaversetrajopt_tpu.utils import (
+                            checkpoint as _ckpt,
+                        )
+
+                        _ckpt.save(path, it, us_v, wx, wy, rho_v)
+
+                from jax.experimental import io_callback
+
+                io_callback(
+                    _snap, None, scp_iter + 1, us, sol.x, sol.y, rho_next,
+                    ordered=True,
+                )
             return (us, (sol.x, sol.y, rho_next)), (
                 l2,
                 sol.x[-1],
@@ -499,7 +578,8 @@ class SAATrajOpt:
             )
 
         (us, _), (l2s, t_risks, qp_iters, qp_solved, us_hist) = jax.lax.scan(
-            step, (us0, warm0), jnp.arange(self.scp_cfg.num_iters)
+            step, (us0, warm0),
+            jnp.arange(start_iter, self.scp_cfg.num_iters),
         )
         xs = rollout_batch(model, us, omegas)
         return SCPResult(
@@ -577,7 +657,11 @@ class SAATrajOpt:
                 warm = (
                     jnp.asarray(saved.warm_x, self.dtype),
                     jnp.asarray(saved.warm_y, self.dtype),
-                    jnp.asarray(self.admm_cfg.rho, self.dtype),
+                    jnp.asarray(
+                        self.admm_cfg.rho
+                        if saved.warm_rho is None else saved.warm_rho,
+                        self.dtype,
+                    ),
                 )
 
         define_times, solve_times, cum_times, l2s = [], [], [], []
@@ -605,7 +689,8 @@ class SAATrajOpt:
             if checkpoint_path is not None:
                 from riskaversetrajopt_tpu.utils import checkpoint as ckpt
 
-                ckpt.save(checkpoint_path, it + 1, us_prev, warm[0], warm[1])
+                ckpt.save(checkpoint_path, it + 1, us_prev, warm[0], warm[1],
+                          warm_rho=np.asarray(warm[2]))
         xs = rollout_batch(model, us_prev, omegas)
         return {
             "us": us_prev,

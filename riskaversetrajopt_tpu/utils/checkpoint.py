@@ -20,19 +20,22 @@ class SCPCheckpoint(NamedTuple):
     us: np.ndarray  # (S, n_u) current control iterate
     warm_x: np.ndarray  # (nv,) ADMM primal warm start
     warm_y: np.ndarray  # (rows,) ADMM dual warm start
+    warm_rho: Optional[float] = None  # adapted ADMM rho (None in old files)
 
 
-def save(path, scp_iter: int, us, warm_x, warm_y):
+def save(path, scp_iter: int, us, warm_x, warm_y, warm_rho=None):
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(".tmp.npz")
-    np.savez(
-        tmp,
+    arrays = dict(
         scp_iter=np.asarray(scp_iter),
         us=np.asarray(us),
         warm_x=np.asarray(warm_x),
         warm_y=np.asarray(warm_y),
     )
+    if warm_rho is not None:
+        arrays["warm_rho"] = np.asarray(warm_rho)
+    np.savez(tmp, **arrays)
     tmp.rename(path)  # atomic on POSIX
 
 
@@ -46,4 +49,5 @@ def load(path) -> Optional[SCPCheckpoint]:
             us=z["us"],
             warm_x=z["warm_x"],
             warm_y=z["warm_y"],
+            warm_rho=(float(z["warm_rho"]) if "warm_rho" in z else None),
         )

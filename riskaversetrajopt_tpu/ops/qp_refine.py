@@ -97,6 +97,19 @@ class IRConfig(NamedTuple):
     prox: float = 1e-3
 
 
+def _ds_chunk(M):
+    """Sample-axis chunk size for the compensated G contractions.
+
+    The unchunked compensated sweep materializes ~4 full (M, K, n)
+    intermediates plus the pairwise-reduction ladder; past M ~ 512
+    (drone shapes) that working set blows the TPU fusion budget and the
+    sweep falls off a ~10x cliff (hardware sweep, M=1000 per-ADMM-iter:
+    unchunked 5.74 ms; chunk 512/256/128/96/64 -> 841/781/603/676/667
+    us). 128 is the measured optimum; chunking below M=256 is overhead
+    (M=256 unchunked: 380 us/iter)."""
+    return 128 if M > 256 else None
+
+
 def _ds_matvec_A(ops: SAAQPOps, x_h, x_l):
     """Compensated matvec_A of a ds vector; mirrors SAAQPOps.matvec_A
     (row order [final | cvar | y | sample | slack | control])."""
@@ -125,7 +138,8 @@ def _ds_matvec_A(ops: SAAQPOps, x_h, x_l):
     ry_h, ry_l = ds.ds_scale(ry_h, ry_l, sc.y)
 
     # sample rows: (g*m) * (G u - gy*(y + t))
-    gu_h, gu_l = ds.contract_mkn_n(ops.data.G, u_h, u_l)
+    gu_h, gu_l = ds.contract_mkn_n(ops.data.G, u_h, u_l,
+                                   chunk=_ds_chunk(st.M))
     yt_h, yt_l = ds.ds_add(
         y_h[:, None], y_l[:, None],
         jnp.broadcast_to(t_h, (M, 1)), jnp.broadcast_to(t_l, (M, 1)),
@@ -168,7 +182,8 @@ def _ds_rmatvec_A(ops: SAAQPOps, w, w_lo=None):
     ph, pe = ds.two_prod(ops.data.F, w_f[:, None])
     pe = pe + ops.data.F * wl_f[:, None]
     ftw_h, ftw_l = ds.ds_sum(ph, pe, axis=0)
-    gtw_h, gtw_l = ds.contract_mkn_mk(ops.data.G, wg_h, wg_l)
+    gtw_h, gtw_l = ds.contract_mkn_mk(ops.data.G, wg_h, wg_l,
+                                      chunk=_ds_chunk(st.M))
     u_h, u_l = ds.ds_add(ftw_h, ftw_l, gtw_h, gtw_l)
     u_h, u_l = ds.ds_add(u_h, u_l, w_u, wl_u)
 

@@ -104,6 +104,35 @@ def test_contractions_vs_f64():
     assert np.max(np.abs(got2 - exact2)) / np.max(np.abs(exact2)) < 1e-12
 
 
+def test_contractions_chunked_vs_f64():
+    """Chunked sample-axis contractions (the TPU fusion-budget workaround,
+    ds.contract_*(chunk=...)) keep full compensated accuracy, including a
+    sample count that is not a multiple of the chunk (zero padding)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    M, K, n = 37, 11, 23
+    G = _rand(k1, (M, K, n), scale=3.0)
+    x = _rand(k2, (n,), scale=1.5)
+    w = _rand(k3, (M, K), scale=0.7)
+
+    h, lo = jax.jit(
+        lambda G, x: ds.contract_mkn_n(G, x, jnp.zeros_like(x), chunk=8)
+    )(G, x)
+    exact = np.einsum(
+        "mkn,n->mk", np.asarray(G, np.float64), np.asarray(x, np.float64)
+    )
+    got = np.asarray(h, np.float64) + np.asarray(lo, np.float64)
+    assert np.max(np.abs(got - exact)) / np.max(np.abs(exact)) < 1e-12
+
+    h2, lo2 = jax.jit(
+        lambda G, w: ds.contract_mkn_mk(G, w, jnp.zeros_like(w), chunk=8)
+    )(G, w)
+    exact2 = np.einsum(
+        "mkn,mk->n", np.asarray(G, np.float64), np.asarray(w, np.float64)
+    )
+    got2 = np.asarray(h2, np.float64) + np.asarray(lo2, np.float64)
+    assert np.max(np.abs(got2 - exact2)) / np.max(np.abs(exact2)) < 1e-12
+
+
 def test_ds_scale_and_mul():
     k1, k2 = jax.random.split(jax.random.PRNGKey(5))
     a = _rand(k1, (512,), scale=11.0)

@@ -45,15 +45,19 @@ def main(argv=None):
     ap.add_argument("--skip-mc", action="store_true")
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--results", default="results")
+    # f32 for accelerator-only deployments (TPUs have no f64); the
+    # reference pins CPU x64 (car/driving.py:13-18)
+    ap.add_argument("--dtype", choices=["f64", "f32"], default="f64")
     args = ap.parse_args(argv)
 
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
     scn = CarScenario(M=args.M)
     model = CarModel(scn)
     rdir = common.results_dir(args.results)
     scp_cfg = dataclasses.replace(
         model.default_scp_config(), num_iters=args.scp_iters
     )
-    opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg)
+    opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg, dtype=dtype)
     key = jax.random.PRNGKey(args.seed)
 
     n_a, n_r, n_i = len(args.alphas), args.repeats, args.scp_iters
@@ -73,7 +77,7 @@ def main(argv=None):
                     in_axes=(None, 0),
                 )
             )
-            res = solve_batch(omegas_all, jnp.asarray(args.alphas, jnp.float64))
+            res = solve_batch(omegas_all, jnp.asarray(args.alphas, opt.dtype))
             for ia, alpha in enumerate(args.alphas):
                 for r in range(args.repeats):
                     common.save_traj(
@@ -101,7 +105,8 @@ def main(argv=None):
 
     if not args.skip_baseline:
         print("[driving] >>> Computing baseline solution")
-        opt_b = SAATrajOpt(model, method="baseline", scp_cfg=scp_cfg)
+        opt_b = SAATrajOpt(model, method="baseline", scp_cfg=scp_cfg,
+                           dtype=dtype)
         om_b = opt_b.sample(jax.random.PRNGKey(args.seed + 1), M=args.M,
                             method="baseline")
         res_b = opt_b.solve(om_b, alpha=0.05)

@@ -22,13 +22,18 @@ def main(argv=None):
     ap.add_argument("--scp-iters", type=int, default=60)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--results", default="results")
+    # f32 accelerator path: the 1e-8-tolerance QPs run through the
+    # iterative-refinement solve (models/car_gaussian.py qp_refine path)
+    ap.add_argument("--dtype", choices=["f64", "f32"], default="f64")
     args = ap.parse_args(argv)
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
 
     rdir = common.results_dir(args.results)
     for alpha in args.alphas:
         print(f"[driving_gaussian] >>> alpha={alpha}")
         p = GaussianCarPlanner(CarScenario(), alpha=alpha,
-                               num_scp_iters=args.scp_iters)
+                               num_scp_iters=args.scp_iters, dtype=dtype)
         res = jax.jit(p.solve)()
         print(f"  L2 final={float(res.l2_errors[-1]):.2e} "
               f"sum(alphas_risk)={float(jnp.sum(res.alphas_risk)):.4f}")

@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--results", default="results")
+    # f32 for accelerator-only deployments (the reference pins CPU x64)
+    ap.add_argument("--dtype", choices=["f64", "f32"], default="f64")
     args = ap.parse_args(argv)
 
     rdir = common.results_dir(args.results)
@@ -40,7 +42,10 @@ def main(argv=None):
     scp_cfg = dataclasses.replace(
         model.default_scp_config(), num_iters=args.scp_iters
     )
-    opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg)
+    opt = SAATrajOpt(
+        model, method="saa", scp_cfg=scp_cfg,
+        dtype=jnp.float32 if args.dtype == "f32" else jnp.float64,
+    )
 
     print("[drone_main_plot] >>> Computing SAA solution")
     omegas = opt.sample(jax.random.PRNGKey(args.seed), M=args.M)

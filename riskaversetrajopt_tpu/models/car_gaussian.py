@@ -70,6 +70,16 @@ class GaussianCarPlanner(ConstBind):
             omega_repulsive=jnp.asarray(scn.omega_repulsive_nom),
             dWs=jnp.zeros((scn.S, scn.n_x)),
         )
+        # pin every array constant to the planner dtype: under a CPU-x64
+        # session an f32 planner would otherwise carry f64 constants into
+        # the QP operators and break the IPM while-loop carry typing
+        for a in self.const_attrs:
+            setattr(
+                self, a,
+                jax.tree.map(
+                    lambda v: jnp.asarray(v, dtype), getattr(self, a)
+                ),
+            )
 
     # -- mean + covariance propagation (driving_gaussian.py:171-228) -------
     def mean_trajectory(self, us_mat):

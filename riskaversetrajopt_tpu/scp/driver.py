@@ -716,7 +716,19 @@ class SAATrajOpt:
         OSQP_TOL + 1e-6; hopper/hopper.py:923-924 with threshold 1e-6) —
         those experiment harnesses compute their statistics directly and do
         not route through this method (pass tol=0.0 to match them here)."""
-        model = self.model
+        # pin everything to the facade dtype: callers mix loaded .npy
+        # controls, fresh samples and model constants, which under a
+        # CPU-x64 session would silently promote an f32 solve's MC oracle
+        # to f64 (and break the rollout scan's carry typing)
+        model = self.model.bind(
+            jax.tree.map(
+                lambda a: jnp.asarray(a, self.dtype), self.model.consts()
+            )
+        )
+        us = jnp.asarray(us, self.dtype)
+        omegas = jax.tree.map(
+            lambda x: jnp.asarray(x, self.dtype), omegas
+        )
         tol = model.scn.osqp_tol if tol is None else tol
 
         def one(om):

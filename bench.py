@@ -32,7 +32,7 @@ CPU mesh to validate the harness + collectives — perf numbers remain the
 1-chip default mode). Efficiency = t_1 / (N * t_N).
 
 Env knobs: BENCH_M, BENCH_ITERS, BENCH_REPEATS, BENCH_BACKEND
-(admm | admm-pallas | admm-pallas-f | hybrid | ipm), BENCH_EPS,
+(admm | admm-ds | _admm-pallas | _admm-pallas-f | hybrid | ipm), BENCH_EPS,
 BENCH_MAX_ITER, BENCH_KKT_REFINE, BENCH_KKT_REFINE_MODE (true | factored),
 BENCH_SWEEP_PRECISION (highest | high), BENCH_RHO_EPOCH (0 = event-driven
 rho epochs; the batched leg defaults to 100 via BENCH_RHO_EPOCH_BATCH),
@@ -257,6 +257,146 @@ def scan_throughput(opt, omegas, alpha, B, repeats):
     return B / t, t
 
 
+def hopper_bench(repeats):
+    """Hopper NLP leg: the IPOPT-replacement engine (ops/nlp_ipm.py) on
+    hardware — damped cold baseline + warm-started SAA solves in true f32
+    (kkt_ruiz_iters=3), at the reference M=30 (hopper/hopper.py:44-56) AND
+    a scaled M (the slip-CVaR rows are the sample-parallel axis), with
+    out-of-sample MC safety (hopper/hopper.py:898-1008) and a same-host
+    CPU reference time on identical instances."""
+    import numpy as _np
+
+    from riskaversetrajopt_tpu.core.config import HopperScenario
+    from riskaversetrajopt_tpu.models.hopper import HopperModel
+    from riskaversetrajopt_tpu.ops.cvar import avar
+    from riskaversetrajopt_tpu.ops.nlp_ipm import (
+        NLPConfig,
+        classify_rows,
+        solve_nlp,
+    )
+
+    model = HopperModel(HopperScenario())
+    accel = jax.devices()[0]
+    out = {}
+
+    def timed(fn, *args):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        jax.block_until_ready(r)
+        return time.perf_counter() - t0, r
+
+    def perturb_params(params, eps):
+        return jax.tree.map(lambda x: x * (1.0 + eps), params)
+
+    # ---- damped cold baseline (f32 certifies the x64 basin: PARITY.md
+    # round 4 — damp 50/0.1 + ruiz 3 -> jump 1.0535 in ~60 iters) ----
+    field_b = model.sample_friction(jax.random.PRNGKey(1), model.M,
+                                    "baseline")
+    fp, gp, params_b, gL, gU, n_eq, xL, xU = model.make_nlp_params(
+        field_b, "baseline", 0.1
+    )
+    row_perm = classify_rows(gL, gU, n_eq)
+    cfg_b = NLPConfig(tol=1e-4, max_iter=300, kkt_ruiz_iters=3,
+                      damp_iters=50, damp_max=0.1)
+    Z0 = model.initial_guess(model.M, jnp.float32)
+    solve_b = jax.jit(lambda Z, p: solve_nlp(
+        fp, gp, gL, gU, n_eq, xL, xU, Z, cfg_b, params=p, row_perm=row_perm
+    ))
+    solve_b(Z0, perturb_params(params_b, 3.1e-7))  # compile
+    # timed on a never-seen instance (runtime result cache, see _perturb)
+    t_b, res_b = timed(solve_b, Z0, perturb_params(params_b, 1.7e-7))
+    res_b = solve_b(Z0, params_b)  # canonical for the warm start
+    xs_b, us_b, *_ = model.split_z(res_b.Z)
+    out["baseline"] = {
+        "seconds": round(t_b, 4),
+        "iters": int(res_b.iters),
+        "solved": bool(res_b.solved),
+        "jump": round(float(xs_b[-1, 0]), 4),
+    }
+
+    # ---- warm-started SAA legs at reference and scaled M ----
+    alpha = float(os.environ.get("BENCH_HOPPER_ALPHA", "0.3"))
+    scaled_M = int(os.environ.get("BENCH_HOPPER_SCALED_M", "300"))
+    s = model.scn
+    for M in (model.M, scaled_M):
+        field = model.sample_friction(jax.random.PRNGKey(2), M, "saa")
+        fp, gp, params, gL, gU, n_eq, xL, xU = model.make_nlp_params(
+            field, "saa", alpha
+        )
+        row_perm = classify_rows(gL, gU, n_eq)
+        cfg = NLPConfig(tol=1e-3, max_iter=500, kkt_ruiz_iters=3)
+        n_xs = (s.S + 1) * s.n_x
+        n_us = s.S * s.n_u
+        Z0 = jnp.zeros(n_xs + n_us + M + 2, jnp.float32)
+        Z0 = Z0.at[:n_xs].set(jnp.asarray(xs_b, jnp.float32).reshape(-1))
+        Z0 = Z0.at[n_xs:n_xs + n_us].set(
+            jnp.asarray(us_b, jnp.float32).reshape(-1)
+        )
+        solve_s = jax.jit(lambda Z, p: solve_nlp(
+            fp, gp, gL, gU, n_eq, xL, xU, Z, cfg, params=p,
+            row_perm=row_perm
+        ))
+        solve_s(Z0, perturb_params(params, 4.2e-7))  # compile
+        times = []
+        for i in range(repeats):
+            t_i, _ = timed(solve_s, Z0, perturb_params(params,
+                                                       (2.0 + i) * 1e-7))
+            times.append(t_i)
+        times.sort()
+        t_s = times[len(times) // 2]
+        res_s = solve_s(Z0, params)  # canonical, for quality metrics
+        xs_s, us_s, *_ = model.split_z(res_s.Z)
+
+        # out-of-sample MC safety on fresh friction fields
+        # (hopper/hopper.py:898-1008 semantics as in experiments/hopper.py)
+        mc_M = int(os.environ.get("BENCH_HOPPER_MC_M", "10000"))
+        mc_field = model.sample_friction(jax.random.PRNGKey(99), mc_M, "saa")
+        ee = jax.vmap(model.end_effector_position)(xs_s)
+        px = ee[model.contact_x_idx, 0]
+        forces = us_s[model.contact_u_idx, 2:]
+
+        def verify(i, th, ta):
+            mu = model.scn.mu_nom + jnp.sum(
+                i[None, :] * jnp.cos(th[None, :] * px[:, None] + ta[None, :]),
+                axis=1,
+            )
+            cons = forces[:, 0] - mu * forces[:, 1]
+            mx = jnp.max(cons)
+            return mx <= 1e-6, mx
+
+        ok, mx = jax.vmap(verify)(
+            mc_field.intensities, mc_field.thetas, mc_field.taus
+        )
+
+        # same jitted computation on the host CPU, identical instance
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            p_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), params)
+            Z0_cpu = jax.device_put(Z0, cpu)
+            solve_cpu = jax.jit(lambda Z, p: solve_nlp(
+                fp, gp, gL, gU, n_eq, xL, xU, Z, cfg, params=p,
+                row_perm=row_perm
+            ))
+            solve_cpu(Z0_cpu, perturb_params(p_cpu, 4.2e-7))  # compile
+            t_cpu, _ = timed(solve_cpu, Z0_cpu,
+                             perturb_params(p_cpu, 2.0e-7))
+
+        out[f"saa_M{M}"] = {
+            "solves_per_s": round(1.0 / t_s, 4),
+            "seconds": round(t_s, 4),
+            "iters": int(res_s.iters),
+            "solved": bool(res_s.solved),
+            "jump": round(float(xs_s[-1, 0]), 4),
+            "mc_safe": round(float(jnp.mean(ok)), 4),
+            "mc_avar": round(float(avar(mx, alpha)), 5),
+            "alpha": alpha,
+            "cpu_seconds": round(t_cpu, 4),
+            "vs_cpu": round(t_cpu / t_s, 2),
+        }
+        print(f"[bench-hopper] M={M} {out[f'saa_M{M}']}", file=sys.stderr)
+    return out
+
+
 def scaling_mode(opt, M, iters, repeats, max_devices):
     """Strong-scaling table over 1..max_devices mesh devices."""
     from riskaversetrajopt_tpu.parallel.mesh import make_mesh, shard_samples
@@ -359,6 +499,8 @@ def main():
                     help="force a jax platform (e.g. cpu for the virtual mesh)")
     ap.add_argument("--batched-child", type=int, default=0,
                     help=argparse.SUPPRESS)  # internal: batched-throughput leg
+    ap.add_argument("--hopper-child", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: hopper NLP leg
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -436,6 +578,10 @@ def main():
                 "speedup_vs_serial": round(ssps * t_f, 2),
             }
         print(json.dumps(out))
+        return
+
+    if args.hopper_child:
+        print(json.dumps(hopper_bench(max(1, repeats - 1))))
         return
 
     omegas = opt.sample(jax.random.PRNGKey(0), M=M)
@@ -600,6 +746,30 @@ def main():
             batched = {"batch": B, "error": str(e)[:300]}
         print(f"[bench] batched throughput: {batched}", file=sys.stderr)
 
+    # Hopper NLP leg (the IPOPT-replacement engine on hardware) — in a
+    # subprocess like the batched leg so an NLP-side device fault cannot
+    # poison the main record
+    hopper = None
+    if int(os.environ.get("BENCH_HOPPER", "1")):
+        import subprocess
+
+        try:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--hopper-child"]
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=2400,
+                env=dict(os.environ),
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            hopper = json.loads(line[-1]) if line else {
+                "error": (out.stderr or "no output")[-300:]}
+        except Exception as e:  # noqa: BLE001 — bench must still report
+            hopper = {"error": str(e)[:300]}
+        print(f"[bench] hopper leg: {hopper}", file=sys.stderr)
+
     cpu = jax.devices("cpu")[0]
     t_cpu, _ = time_solve(opt, omegas, alpha, cpu, 1, eps_list,
                           want_result=False)
@@ -622,6 +792,7 @@ def main():
                 **mc_stats,
                 "parity_mode": parity,
                 "batched_throughput": batched,
+                "hopper": hopper,
             }
         )
     )
@@ -648,7 +819,7 @@ def _main_with_retries():
         # the batched child runs inside the parent's subprocess timeout and
         # its failure is already tolerated (reported in the "batched" field)
         # — don't burn retry backoffs there
-        if "--batched-child" in sys.argv[1:]:
+        if "--batched-child" in sys.argv[1:] or "--hopper-child" in sys.argv[1:]:
             max_attempts = 1
         if attempt < max_attempts:
             backoff = int(os.environ.get("BENCH_RETRY_BACKOFF_S", "120"))

@@ -66,7 +66,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from riskaversetrajopt_tpu.ops import admm as admm_mod
-from riskaversetrajopt_tpu.ops.pallas.saa_admm import (
+from riskaversetrajopt_tpu.ops.pallas.experimental.saa_admm import (
     LANES,
     KernelDims,
     ScaledSAA,

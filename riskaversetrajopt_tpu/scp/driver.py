@@ -278,15 +278,29 @@ class SAATrajOpt:
                 st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0, rho0=rho0,
                 ds_kkt_passes=getattr(self.admm_cfg, "ds_kkt_passes", 1),
             )
-        elif self.qp_backend == "admm-pallas":
-            # Fused-kernel ADMM (ops/pallas/saa_admm.py): ~100x lower
-            # per-iteration latency than the XLA path on a real chip.
+        elif self.qp_backend in ("admm-pallas", "admm-pallas-f"):
+            # Demoted to experimental (round-4 decision): every contraction
+            # form probed for the fused kernels lands 5-10x off peak on
+            # this Mosaic toolchain while the XLA einsum iteration sits at
+            # its HBM roofline — see ops/pallas/experimental/README.md for
+            # the measured ceiling. The kernels remain bitwise-validated
+            # and opt-in under the underscore names.
+            raise ValueError(
+                f"'{self.qp_backend}' is experimental on this toolchain "
+                f"(measured 5-10x off peak; the production XLA path is "
+                f"faster). Opt in explicitly with "
+                f"qp_backend='_{self.qp_backend}', or use 'admm'."
+            )
+        elif self.qp_backend == "_admm-pallas":
+            # Fused-kernel ADMM (ops/pallas/experimental/saa_admm.py).
             # Envelope: f32, Mp <= 1024 per device (round-2 probes: the
             # round-1 faults at Mp=1024 / embedded-in-jit were the Mosaic
             # 16MB default scoped-vmem budget; with the raised
             # vmem_limit_bytes both standalone and embedded runs are clean
             # at M=1000). Falls back to the XLA path outside the envelope.
-            from riskaversetrajopt_tpu.ops.pallas import saa_admm as _pk
+            from riskaversetrajopt_tpu.ops.pallas.experimental import (
+                saa_admm as _pk,
+            )
 
             if self.dtype != jnp.float32 or _pk.kernel_dims(st).Mp > 1024:
                 return admm_solve()
@@ -297,14 +311,16 @@ class SAATrajOpt:
                 st, data, scp_iter, self.admm_cfg, x0=x0, y0=y0,
                 interpret=self.pallas_interpret, rho0=rho0,
             )
-        elif self.qp_backend == "admm-pallas-f":
-            # Lane-flat fused kernel (ops/pallas/saa_admm_f.py): both
+        elif self.qp_backend == "_admm-pallas-f":
+            # Lane-flat fused kernel (experimental/saa_admm_f.py): both
             # Jacobian sweeps as single (8, X)@(X, Y) MXU matmuls over a
             # VMEM-resident 2D G stack. Same envelope/fallback as
-            # admm-pallas (2 resident G copies: Mp*Kp*128*8 bytes vs the
+            # _admm-pallas (2 resident G copies: Mp*Kp*128*8 bytes vs the
             # 110 MB scoped-vmem budget).
-            from riskaversetrajopt_tpu.ops.pallas import saa_admm_f as _pkf
-            from riskaversetrajopt_tpu.ops.pallas import saa_admm as _pk
+            from riskaversetrajopt_tpu.ops.pallas.experimental import (
+                saa_admm as _pk,
+                saa_admm_f as _pkf,
+            )
 
             d = _pk.kernel_dims(st, 32)
             if (
@@ -531,7 +547,7 @@ class SAATrajOpt:
             us0, warm0 = resume
         # backends whose QPSolution.rho is meaningful (ADMM family); others
         # carry the previous rho forward untouched
-        rho_backends = ("admm", "admm-ds", "admm-pallas", "admm-pallas-f")
+        rho_backends = ("admm", "admm-ds", "_admm-pallas", "_admm-pallas-f")
 
         def step(carry, scp_iter):
             us_prev, warm = carry
@@ -679,7 +695,7 @@ class SAATrajOpt:
             warm = (
                 sol.x, sol.y,
                 sol.rho.astype(self.dtype)
-                if self.qp_backend in ("admm", "admm-pallas", "admm-pallas-f")
+                if self.qp_backend in ("admm", "_admm-pallas", "_admm-pallas-f")
                 else warm[2],
             )
             total += t_def + t_sol

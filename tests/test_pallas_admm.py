@@ -8,7 +8,7 @@ import pytest
 
 from riskaversetrajopt_tpu.core.config import SolverConfig
 from riskaversetrajopt_tpu.ops import admm as admm_mod
-from riskaversetrajopt_tpu.ops.pallas import saa_admm as pk
+from riskaversetrajopt_tpu.ops.pallas.experimental import saa_admm as pk
 from riskaversetrajopt_tpu.ops.saa_qp import (
     SAAQPOps,
     build_bounds,
@@ -171,7 +171,7 @@ def test_pallas_solver_backend_matches_xla(monkeypatch):
 
 
 def test_driver_pallas_backend_end_to_end():
-    """Full SCP solve through the 'admm-pallas' backend (interpret on CPU)."""
+    """Full SCP solve through the '_admm-pallas' backend (interpret on CPU)."""
     import jax.numpy as jnp
 
     from riskaversetrajopt_tpu.core.config import DroneScenario, SCPConfig
@@ -185,7 +185,7 @@ def test_driver_pallas_backend_end_to_end():
         opt = SAATrajOpt(
             model,
             method="saa",
-            qp_backend="admm-pallas",
+            qp_backend="_admm-pallas",
             dtype=jnp.float32,
             pallas_interpret=True,
             scp_cfg=SCPConfig(
@@ -203,7 +203,7 @@ def test_driver_pallas_backend_end_to_end():
 # --- F-layout (lane-flat) kernel: ops/pallas/saa_admm_f.py -----------------
 
 def test_f_state_roundtrip():
-    from riskaversetrajopt_tpu.ops.pallas import saa_admm_f as pkf
+    from riskaversetrajopt_tpu.ops.pallas.experimental import saa_admm_f as pkf
 
     st, data32, ops, q, l, u, scaling, rho, p, d = setup()
     state = pk.init_scaled_state(p, d)
@@ -219,7 +219,7 @@ def test_f_state_roundtrip():
 
 
 def test_f_kernel_interpret_matches_reference():
-    from riskaversetrajopt_tpu.ops.pallas import saa_admm_f as pkf
+    from riskaversetrajopt_tpu.ops.pallas.experimental import saa_admm_f as pkf
 
     st, data32, ops, q, l, u, scaling, rho, p, d = setup()
     chunk = 4
@@ -244,7 +244,7 @@ def test_f_solver_backend_matches_xla():
     QUALITY as the default XLA structured solver at a fixed budget (same
     contract as test_pallas_solver_backend_matches_xla: this small-M f32
     problem stalls in the dual near eps 1e-3 for every backend)."""
-    from riskaversetrajopt_tpu.ops.pallas import saa_admm_f as pkf
+    from riskaversetrajopt_tpu.ops.pallas.experimental import saa_admm_f as pkf
     from riskaversetrajopt_tpu.ops.saa_qp import build_objective, solve_saa_qp
     from tests.test_saa_qp import dense_reference_A
 

@@ -25,7 +25,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def make_opt(num_iters, M, polish=True, max_iter=20000, adaptive=True,
-             backend="admm-pallas"):
+             backend="_admm-pallas"):
     from riskaversetrajopt_tpu.core.config import (
         DroneScenario, SCPConfig, SolverConfig)
     from riskaversetrajopt_tpu.models.drone import DroneModel

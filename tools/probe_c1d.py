@@ -44,7 +44,7 @@ def main():
     M = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 
-    from riskaversetrajopt_tpu.ops.pallas import saa_admm as pk
+    from riskaversetrajopt_tpu.ops.pallas.experimental import saa_admm as pk
     from tools.probe_pallas import build_problem
 
     st, _ = build_problem(M)

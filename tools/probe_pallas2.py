@@ -19,7 +19,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 def main(M, TM, chunk, max_iter):
     from riskaversetrajopt_tpu.core.config import SolverConfig
     from riskaversetrajopt_tpu.ops import admm as admm_mod
-    from riskaversetrajopt_tpu.ops.pallas import saa_admm as pk
+    from riskaversetrajopt_tpu.ops.pallas.experimental import saa_admm as pk
     from riskaversetrajopt_tpu.ops.saa_qp import solve_saa_qp
     from tools.probe_pallas import build_problem
 

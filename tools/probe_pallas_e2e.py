@@ -23,7 +23,7 @@ import bench  # noqa: E402  (pins matmul precision)
 
 
 def main():
-    backend = sys.argv[1] if len(sys.argv) > 1 else "admm-pallas"
+    backend = sys.argv[1] if len(sys.argv) > 1 else "_admm-pallas"
     M = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     print(f"[probe-e2e] devices={jax.devices()} backend={backend} M={M}",

@@ -198,6 +198,9 @@ def _selftest(coordinator: str, num_processes: int, process_id: int) -> None:
     if os.environ.get("RATO_DIST_FULL"):
         _selftest_full_scp(process_id)
         return
+    if os.environ.get("RATO_DIST_BATCH"):
+        _selftest_batch(process_id)
+        return
 
     # Default: one structured SAA QP solve on the global mesh. This
     # exercises everything the distributed layer owns — multi-process mesh
@@ -234,6 +237,73 @@ def _selftest(coordinator: str, num_processes: int, process_id: int) -> None:
     print(
         f"SELFTEST_OK pid={process_id} nproc={jax.process_count()} "
         f"ndev={jax.device_count()} us_sum={float(np.sum(x)):.12e}",
+        flush=True,
+    )
+
+
+def _selftest_batch(process_id: int) -> None:
+    """Independent-problem fan-out with the `batch` mesh axis spanning
+    PROCESSES — the reference's (alpha x repeat) sweep axis
+    (drone_risk.py:498-503) distributed across hosts: each host owns one
+    sweep instance (its whole sample axis chip-local), the vmapped solve
+    runs as one global program, and every process recovers the full
+    result set. Mesh: global_mesh(n_batch_devices=nproc) reshapes the
+    host-major device list to (batch=nproc, samples=ndev/nproc), so the
+    batch blocks coincide with process boundaries."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from riskaversetrajopt_tpu.core.config import SolverConfig
+    from riskaversetrajopt_tpu.ops.saa_qp import solve_saa_qp
+
+    B = jax.process_count()
+    M = 16
+    st, data = selftest_problem(M)
+    # distinct instances per batch element: the reference sweep varies
+    # alpha; vary the bounds too so the solutions differ materially
+    alphas = np.array([0.1 + 0.2 * b for b in range(B)])
+    gups = np.stack([data.g_up * (1.0 + 0.1 * b) for b in range(B)])
+    Gs = np.broadcast_to(data.G, (B,) + data.G.shape)
+
+    mesh = global_mesh(n_batch_devices=B)
+
+    def put(local, gshape, spec):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.ascontiguousarray(local), gshape
+        )
+
+    pid = process_id
+    G_g = put(Gs[pid:pid + 1], Gs.shape, P("batch", "samples"))
+    gup_g = put(gups[pid:pid + 1], gups.shape, P("batch", "samples"))
+    al_g = put(alphas[pid:pid + 1], alphas.shape, P("batch"))
+    rep = replicate_to_mesh(
+        {"F": data.F, "f_rhs": data.f_rhs, "p": data.p_diag_u}, mesh
+    )
+    # fixed-cadence rho epochs: vmapped (lockstep) solves desynchronize
+    # under the event-driven refactorization handshake
+    # (SolverConfig.rho_epoch_every notes)
+    cfg = SolverConfig(eps_abs=1e-8, eps_rel=1e-8, max_iter=8000,
+                       rho_epoch_every=50)
+
+    @jax.jit
+    def run(G, g_up, al, F, f_rhs, p):
+        def one(G_i, gup_i, a_i):
+            d = data._replace(
+                G=G_i, g_up=gup_i, F=F, f_rhs=f_rhs, p_diag_u=p, alpha=a_i
+            )
+            return solve_saa_qp(st, d, jnp.asarray(3), cfg).x
+
+        return jax.vmap(one)(G, g_up, al)
+
+    x = run(G_g, gup_g, al_g, rep["F"], rep["f_rhs"], rep["p"])
+    x = replicate_global(x, mesh)
+    sums = " ".join(
+        f"us_sum{b}={float(np.sum(np.asarray(x)[b])):.12e}" for b in range(B)
+    )
+    print(
+        f"SELFTEST_BATCH_OK pid={process_id} nproc={jax.process_count()} "
+        f"ndev={jax.device_count()} {sums}",
         flush=True,
     )
 

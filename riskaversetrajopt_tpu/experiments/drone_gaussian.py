@@ -25,7 +25,12 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=1500)
     ap.add_argument("--results", default="results")
+    # f32 accelerator path (adds the NLP's symmetric KKT equilibration
+    # via the planner's dtype-aware default config)
+    ap.add_argument("--dtype", choices=["f64", "f32"], default="f64")
     args = ap.parse_args(argv)
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
 
     rdir = common.results_dir(args.results)
     for alpha in args.alphas:
@@ -36,9 +41,14 @@ def main(argv=None):
             )
         us_init, _ = common.load_traj(warm)
         print(f"[drone_gaussian] >>> alpha={alpha}")
-        p = GaussianDronePlanner(DroneScenario(), alpha=alpha)
-        res = p.solve(us_init=jnp.asarray(us_init),
-                      cfg=NLPConfig(tol=args.tol, max_iter=args.max_iter))
+        p = GaussianDronePlanner(DroneScenario(), alpha=alpha, dtype=dtype)
+        res = p.solve(
+            us_init=jnp.asarray(us_init, dtype),
+            cfg=NLPConfig(
+                tol=args.tol, max_iter=args.max_iter,
+                kkt_ruiz_iters=3 if dtype == jnp.float32 else 0,
+            ),
+        )
         print(f"  iters={int(res.nlp.iters)} solved={bool(res.nlp.solved)} "
               f"prim={float(res.nlp.prim_res):.2e} "
               f"sum(alphas)={float(jnp.sum(res.alphas_risk)):.4f}")

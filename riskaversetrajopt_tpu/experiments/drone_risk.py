@@ -48,8 +48,11 @@ def main(argv=None):
     ap.add_argument("--skip-mc", action="store_true")
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--results", default="results")
+    # f32 for accelerator-only deployments (the reference pins CPU x64)
+    ap.add_argument("--dtype", choices=["f64", "f32"], default="f64")
     args = ap.parse_args(argv)
 
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
     scn = DroneScenario(M=args.M)
     model = DroneModel(scn)
     rdir = common.results_dir(args.results)
@@ -59,7 +62,7 @@ def main(argv=None):
     scp_cfg = dataclasses.replace(
         model.default_scp_config(), num_iters=args.scp_iters
     )
-    opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg)
+    opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg, dtype=dtype)
 
     key = jax.random.PRNGKey(args.seed)
 
@@ -73,7 +76,7 @@ def main(argv=None):
             jax.vmap(jax.vmap(lambda om, a: opt.solve(om, a), in_axes=(0, None)),
                      in_axes=(None, 0))
         )
-        alphas_arr = jnp.asarray(args.alphas, jnp.float64)
+        alphas_arr = jnp.asarray(args.alphas, opt.dtype)
         # chunk the repeat axis: bounds the live B x M x K x n Jacobian
         # footprint per launch (one compile serves every chunk)
         chunk = max(1, min(args.batch_chunk, args.repeats))
@@ -95,7 +98,7 @@ def main(argv=None):
 
     if not args.skip_baseline:
         print("[drone_risk] >>> Computing baseline solution")
-        opt_b = SAATrajOpt(model, method="baseline", scp_cfg=scp_cfg,
+        opt_b = SAATrajOpt(model, method="baseline", scp_cfg=scp_cfg, dtype=dtype,
                            baseline_pad=1e-3)
         om_b = opt_b.sample(jax.random.PRNGKey(args.seed + 1), M=args.M,
                             method="baseline")

@@ -25,11 +25,14 @@ from riskaversetrajopt_tpu.ops.nlp_ipm import NLPConfig, solve_nlp
 
 
 def solve_phase(model, field, method, alpha, Z0, tol, max_iter,
-                damp_iters=0, damp_max=0.1):
+                damp_iters=0, damp_max=0.1, kkt_ruiz=None):
+    if kkt_ruiz is None:
+        kkt_ruiz = 0 if jnp.zeros(0).dtype == jnp.float64 else 3
     f, g, gL, gU, n_eq, xL, xU = model.make_nlp(field, method, alpha)
     res = solve_nlp(f, g, gL, gU, n_eq, xL, xU, Z0,
                     NLPConfig(tol=tol, max_iter=max_iter,
-                              damp_iters=damp_iters, damp_max=damp_max))
+                              damp_iters=damp_iters, damp_max=damp_max,
+                              kkt_ruiz_iters=kkt_ruiz))
     xs, us, ys, slack, t_risk = model.split_z(res.Z)
     return res, xs, us
 
@@ -51,6 +54,9 @@ def main(argv=None):
     # not use damping (it would only slow the ~40-70-iteration warm solves).
     ap.add_argument("--damp-iters", type=int, default=50)
     ap.add_argument("--damp-max", type=float, default=0.1)
+    # symmetric KKT equilibration passes (f32 hardening; default: 0 under
+    # x64, 3 when the process runs f32 — i.e. on accelerators)
+    ap.add_argument("--kkt-ruiz", type=int, default=None)
     ap.add_argument("--mc-M", type=int, default=10000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--skip-mc", action="store_true")
@@ -82,6 +88,7 @@ def main(argv=None):
         res, xs, us = solve_phase(
             model, field_base, "baseline", 0.1, Z0, base_tol, args.max_iter,
             damp_iters=args.damp_iters, damp_max=args.damp_max,
+            kkt_ruiz=args.kkt_ruiz,
         )
         print(f"  iters={int(res.iters)} prim={float(res.prim_res):.2e} "
               f"jumped={float(xs[-1, 0]):.4f}")
@@ -101,7 +108,8 @@ def main(argv=None):
         for alpha in args.alphas:
             print(f"[hopper] >>> Solving SAA alpha={alpha}")
             res, xs, us = solve_phase(
-                model, field, "saa", alpha, Z0, args.tol, args.max_iter
+                model, field, "saa", alpha, Z0, args.tol, args.max_iter,
+                kkt_ruiz=args.kkt_ruiz,
             )
             print(f"  iters={int(res.iters)} prim={float(res.prim_res):.2e} "
                   f"jumped={float(xs[-1, 0]):.4f}")

@@ -33,6 +33,10 @@ class GaussianCarResult(NamedTuple):
     xs: jnp.ndarray  # (S+1, n_x) mean trajectory
     Sigmas: jnp.ndarray  # (S+1, n_x, n_x)
     l2_errors: jnp.ndarray
+    # per-SCP-iteration QP certification flags (admm-ir backend certifies
+    # the OSQP_TOL=1e-8 stress tolerance with compensated residuals; the
+    # ipm backend reports its own convergence flag)
+    qp_solved: jnp.ndarray = None
 
 
 class GaussianCarPlanner(ConstBind):
@@ -224,30 +228,63 @@ class GaussianCarPlanner(ConstBind):
         return us, alphas
 
     # -- SCP loop (driving_gaussian.py:466-499) ----------------------------
-    def solve(self, ipm_cfg: IPMConfig = None) -> GaussianCarResult:
+    def solve(self, ipm_cfg: IPMConfig = None,
+              qp_backend: str = None) -> GaussianCarResult:
+        """Full SCP solve. qp_backend: 'ipm' (x64 default — Mehrotra at
+        tol 1e-7) or 'admm-ir' (f32 default — warm-started dense ADMM +
+        compensated iterative refinement certifying the reference's
+        OSQP_TOL=1e-8 stress tolerance, car/driving_gaussian.py:27, from
+        f32-only arithmetic; plain f32 IPM diverges on these QPs)."""
+        if qp_backend is None:
+            qp_backend = (
+                "admm-ir" if self.dtype == jnp.float32 else "ipm"
+            )
         ipm_cfg = ipm_cfg or IPMConfig(tol=1e-7, max_iter=50)
         S, n_u = self.S, self.n_u
+        nv = self.nv
+
+        if qp_backend == "admm-ir":
+            from riskaversetrajopt_tpu.ops.qp_refine import (
+                IRConfig,
+                solve_dense_qp_ir,
+            )
+
+            ir_solver_cfg = SolverConfig(
+                eps_abs=1e-8, eps_rel=1e-8, max_iter=20000,
+                polish=False, kkt_refine_iters=1,
+            )
 
         def step(carry, scp_iter):
-            us_prev, alphas_prev = carry
+            us_prev, alphas_prev, wx, wy = carry
             P, q, A, l, u = self.build_qp(us_prev, alphas_prev, scp_iter)
-            ops = admm.DenseQPOps(P, A)
-            sol = solve_qp_ipm(ops, q, l, u, n_eq=4, cfg=ipm_cfg)
+            if qp_backend == "admm-ir":
+                sol = solve_dense_qp_ir(
+                    P, q, A, l, u, ir_solver_cfg, IRConfig(rounds=10, work_eps=1e-5),
+                    x0=wx, y0=wy,
+                )
+            else:
+                ops = admm.DenseQPOps(P, A)
+                sol = solve_qp_ipm(ops, q, l, u, n_eq=4, cfg=ipm_cfg)
             us = sol.x[: n_u * S].reshape(S, n_u)
             alphas = sol.x[n_u * S : n_u * S + S]
             from riskaversetrajopt_tpu.scp.driver import l2_error_us
 
             l2 = l2_error_us(us, us_prev)
-            return (us, alphas), l2
+            return (us, alphas, sol.x, sol.y), (l2, sol.solved)
 
         us0, alphas0 = self.initial_guess()
-        (us, alphas), l2s = jax.lax.scan(
-            step, (us0, alphas0), jnp.arange(self.num_scp_iters)
+        # build_qp row count: A_top (4 + S) + A_cr (n_u*S + S + 1)
+        m_rows = 4 + S + n_u * S + S + 1
+        wx0 = jnp.zeros(nv, self.dtype)
+        wy0 = jnp.zeros(m_rows, self.dtype)
+        (us, alphas, _, _), (l2s, solved) = jax.lax.scan(
+            step, (us0, alphas0, wx0, wy0), jnp.arange(self.num_scp_iters)
         )
         xs = self.mean_trajectory(us)
         Sigmas = self.covariance_trajectory(us)
         return GaussianCarResult(
-            us=us, alphas_risk=alphas, xs=xs, Sigmas=Sigmas, l2_errors=l2s
+            us=us, alphas_risk=alphas, xs=xs, Sigmas=Sigmas, l2_errors=l2s,
+            qp_solved=solved,
         )
 
     def solve_jitted(self, ipm_cfg: IPMConfig = None) -> GaussianCarResult:

@@ -69,6 +69,17 @@ class GaussianDronePlanner(ConstBind):
             obs_Q=jnp.zeros((scn.n_obs, 3, 3)),
             dWs=jnp.zeros((scn.S, scn.n_x)),
         )
+        # pin array constants to the planner dtype: under a CPU-x64
+        # session an f32 planner would otherwise carry f64 constants into
+        # the NLP callbacks and break the barrier-loop carry typing (same
+        # hardening as GaussianCarPlanner)
+        for a in self.const_attrs:
+            setattr(
+                self, a,
+                jax.tree.map(
+                    lambda v: jnp.asarray(v, dtype), getattr(self, a)
+                ),
+            )
 
     def consts(self):
         d = super().consts()
@@ -216,8 +227,13 @@ class GaussianDronePlanner(ConstBind):
         # round-1 "dual plateau at 0.4" was an under-budgeted run: at
         # max_iter=1000 the solve converges to prim 2e-11 / dual 3e-7);
         # the reference runs IPOPT with max_iter 3000 (drone_gaussian.py:
-        # 500-502)
-        cfg = cfg or NLPConfig(tol=1e-6, max_iter=1500)
+        # 500-502). f32 default adds symmetric KKT equilibration
+        # (NLPConfig.kkt_ruiz_iters — the augmented KKT's conditioning
+        # exceeds 1/eps_f32 raw; same hardening as the hopper, PARITY.md)
+        if cfg is None:
+            f32 = jnp.dtype(self.dtype) == jnp.float32
+            cfg = NLPConfig(tol=1e-6, max_iter=1500,
+                            kkt_ruiz_iters=3 if f32 else 0)
         g_L, g_U, n_eq, x_L, x_U = self.bounds()
         Z0 = self.initial_guess(us_init)
         if jitted:

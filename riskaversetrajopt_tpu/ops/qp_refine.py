@@ -278,6 +278,155 @@ def _pow2(x):
     return jnp.exp2(jnp.round(jnp.log2(x)))
 
 
+def _ds_matvec_dense(Amat, x_h, x_l):
+    """Compensated Amat @ (x_h, x_l) for a dense matrix (ds output)."""
+    p, e = ds.two_prod(Amat, x_h[None, :])
+    e = e + Amat * x_l[None, :]
+    return ds.ds_sum(p, e, axis=1)
+
+
+def _ds_rmatvec_dense(Amat, w, w_lo=None):
+    """Compensated Amat.T @ (w, w_lo) for a dense matrix (ds output)."""
+    p, e = ds.two_prod(Amat, w[:, None])
+    if w_lo is not None:
+        e = e + Amat * w_lo[:, None]
+    return ds.ds_sum(p, e, axis=0)
+
+
+def _residuals_dense(P, A, q, l, u, x_h, x_l, y, cfg, y_l=None):
+    """Compensated unscaled OSQP residuals for a DENSE (P, A) QP at
+    (x, y) with z = clip(Ax) — the dense analog of `_residuals`. `y` may
+    be a ds pair via `y_l` (the refinement loop carries the dual in ds:
+    its corrections fall below ulp(y) once the dual residual reaches
+    ~eps_f32 * |y|, which plain-f32 accumulation cannot represent —
+    measured stall at 1.7e-7 on the car-Gaussian alpha rows)."""
+    ax_h, ax_l = _ds_matvec_dense(A, x_h, x_l)
+    px_h, px_l = _ds_matvec_dense(P, x_h, x_l)
+    rd_h, rd_l = ds.ds_add(px_h, px_l, q, jnp.zeros_like(q))
+    aty_h, aty_l = _ds_rmatvec_dense(A, y, y_l)
+    rd_h, rd_l = ds.ds_add(rd_h, rd_l, aty_h, aty_l)
+
+    rl_h, rl_l = _ds_sub_bound(l, ax_h, ax_l)
+    ru_h, ru_l = _ds_sub_bound(u, ax_h, ax_l)
+
+    viol = jnp.maximum(
+        jnp.where(jnp.isfinite(l), ds.ds_round(rl_h, rl_l), -jnp.inf),
+        jnp.where(jnp.isfinite(u), ds.ds_round(-ru_h, -ru_l), -jnp.inf),
+    )
+    prim = jnp.max(jnp.maximum(viol, 0.0))
+    dual = jnp.max(jnp.abs(ds.ds_round(rd_h, rd_l)))
+
+    ax = ds.ds_round(ax_h, ax_l)
+    z = jnp.clip(ax, l, u)
+    eps_prim = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
+        jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z))
+    )
+    eps_dual = cfg.eps_abs + cfg.eps_rel * jnp.maximum(
+        jnp.maximum(
+            jnp.max(jnp.abs(ds.ds_round(px_h, px_l))),
+            jnp.max(jnp.abs(ds.ds_round(aty_h, aty_l))),
+        ),
+        jnp.max(jnp.abs(q)),
+    )
+    return _Residuals(prim, dual, eps_prim, eps_dual,
+                      rd_h, rd_l, rl_h, rl_l, ru_h, ru_l)
+
+
+def solve_dense_qp_ir(
+    P,
+    q,
+    A,
+    l,
+    u,
+    cfg: SolverConfig,
+    ir: IRConfig = IRConfig(),
+    x0=None,
+    y0=None,
+    ruiz_iters: int = 5,
+) -> admm.QPSolution:
+    """Dense-matrix analog of `solve_saa_qp_ir`: f32 ADMM base solve +
+    Gleixner-style correction rounds with compensated residuals, certified
+    at cfg.eps_abs/eps_rel far below the f32 floor.
+
+    This is the f32 path for the Gaussian-baseline planners' SCP QPs —
+    the reference solves those with OSQP at eps 1e-8 on CPU x64
+    (car/driving_gaussian.py:27), which plain f32 ADMM (or IPM) cannot
+    certify; the refinement loop recovers the accuracy from f32-only
+    arithmetic."""
+    ops = admm.DenseQPOps(P, A, kkt_refine_iters=cfg.kkt_refine_iters)
+    dtype = q.dtype
+    scaling = admm.ruiz_equilibrate(ops, q, l, u, iters=ruiz_iters)
+
+    import dataclasses
+
+    work_cfg = dataclasses.replace(
+        cfg, eps_abs=ir.work_eps, eps_rel=ir.work_eps, polish=False
+    )
+    base_cfg = dataclasses.replace(
+        cfg,
+        eps_abs=ir.base_eps_abs if ir.base_eps_abs is not None else ir.work_eps,
+        eps_rel=ir.base_eps_rel if ir.base_eps_rel is not None else ir.work_eps,
+        max_iter=(
+            ir.base_max_iter if ir.base_max_iter is not None else cfg.max_iter
+        ),
+        polish=False,
+    )
+    base = admm.admm_solve(ops, q, l, u, base_cfg, x0=x0, y0=y0,
+                           scaling=scaling)
+    x_h, x_l = base.x, jnp.zeros_like(base.x)
+    y_h, y_lo = base.y, jnp.zeros_like(base.y)
+    iters = base.iters
+
+    res = _residuals_dense(P, A, q, l, u, x_h, x_l, y_h, cfg, y_l=y_lo)
+
+    for _ in range(ir.rounds):
+        done = (res.prim <= res.eps_prim) & (res.dual <= res.eps_dual)
+
+        def do_round(x_h, x_l, y_h, y_lo, res, iters):
+            scale = jnp.maximum(
+                jnp.maximum(res.prim, res.dual), jnp.asarray(1e-30, dtype)
+            )
+            delta = _pow2(
+                jnp.clip(ir.margin / scale, 1.0, ir.delta_max)
+            ).astype(dtype)
+            dq = delta * ds.ds_round(res.rd_h, res.rd_l)
+            dl = jnp.where(
+                jnp.isfinite(l), delta * ds.ds_round(res.rl_h, res.rl_l), l
+            )
+            du = jnp.where(
+                jnp.isfinite(u), delta * ds.ds_round(res.ru_h, res.ru_l), u
+            )
+            corr = admm.admm_solve(
+                _ProxOps(ops, jnp.asarray(ir.prox, dtype)),
+                dq, dl, du, work_cfg, scaling=scaling,
+            )
+            x_h2, x_l2 = ds.ds_add(x_h, x_l, corr.x / delta,
+                                   jnp.zeros_like(corr.x))
+            y_h2, y_lo2 = ds.ds_add(y_h, y_lo, corr.y / delta,
+                                    jnp.zeros_like(corr.y))
+            res2 = _residuals_dense(P, A, q, l, u, x_h2, x_l2, y_h2, cfg,
+                                    y_l=y_lo2)
+            return x_h2, x_l2, y_h2, y_lo2, res2, iters + corr.iters
+
+        def skip(x_h, x_l, y_h, y_lo, res, iters):
+            return x_h, x_l, y_h, y_lo, res, iters
+
+        x_h, x_l, y_h, y_lo, res, iters = lax.cond(
+            done, skip, do_round, x_h, x_l, y_h, y_lo, res, iters
+        )
+
+    x = ds.ds_round(x_h, x_l)
+    y = ds.ds_round(y_h, y_lo)
+    z = jnp.clip(ds.ds_round(*_ds_matvec_dense(A, x_h, x_l)), l, u)
+    solved = (res.prim <= res.eps_prim) & (res.dual <= res.eps_dual)
+    return admm.QPSolution(
+        x=x, y=y, z=z, iters=iters, prim_res=res.prim, dual_res=res.dual,
+        solved=solved,
+        prim_infeasible=base.prim_infeasible,
+        dual_infeasible=base.dual_infeasible,
+    )
+
+
 class _ProxOps:
     """Adds `sig * I` to the operator's quadratic term (P + sig I) by
     riding the sigma_vec argument, which every factorize/kkt_solve

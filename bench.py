@@ -501,6 +501,8 @@ def main():
                     help=argparse.SUPPRESS)  # internal: batched-throughput leg
     ap.add_argument("--hopper-child", action="store_true",
                     help=argparse.SUPPRESS)  # internal: hopper NLP leg
+    ap.add_argument("--ds-child", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: ds parity leg
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -582,6 +584,48 @@ def main():
 
     if args.hopper_child:
         print(json.dumps(hopper_bench(max(1, repeats - 1))))
+        return
+
+    if args.ds_child:
+        # Double-single high-precision leg (ops/admm_ds.py): the on-chip
+        # branch-tracking configuration — every QP certified at eps 1e-6
+        # (below the plain-f32 stall floor) with ds iterates. Reported:
+        # throughput, golden distance, certification, MC quality.
+        ds_opt = make(iters, "admm-ds", 1e-6, 45000, eps_rel=1e-6,
+                      polish=False, rho_ws=False, kkt_inv=False)
+        omegas = ds_opt.sample(jax.random.PRNGKey(0), M=M)
+        t_ds, res_ds = time_solve(
+            ds_opt, omegas, 0.2, jax.devices()[0],
+            int(os.environ.get("BENCH_DS_REPEATS", "1")),
+        )
+        import numpy as np
+
+        out = {
+            "solves_per_s": round(1.0 / t_ds, 4),
+            "seconds": round(t_ds, 4),
+            "qp_iters": res_ds.qp_iters.tolist(),
+            "qp_uncertified": len(
+                [v for v in res_ds.qp_solved.tolist() if not v]
+            ),
+        }
+        gold_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures",
+            f"gold_drone_m{M}_a0.2_seed0_iters15.npy",
+        )
+        if os.path.exists(gold_path):
+            gold = np.load(gold_path)
+            us_d = np.asarray(res_ds.us)
+            out["l2_vs_golden"] = float(
+                np.linalg.norm(us_d - gold) / np.linalg.norm(gold)
+            )
+        mc_om = ds_opt.sample(
+            jax.random.PRNGKey(99),
+            M=int(os.environ.get("BENCH_DS_MC_M", "10000")),
+        )
+        mc_d = ds_opt.monte_carlo(res_ds.us, mc_om, 0.2)
+        out["mc_safe"] = round(float(mc_d["safe_frac"]), 4)
+        out["mc_cost"] = round(float(mc_d["cost"]), 4)
+        print(json.dumps(out))
         return
 
     omegas = opt.sample(jax.random.PRNGKey(0), M=M)
@@ -746,6 +790,27 @@ def main():
             batched = {"batch": B, "error": str(e)[:300]}
         print(f"[bench] batched throughput: {batched}", file=sys.stderr)
 
+    # ds high-precision leg (subprocess-isolated)
+    ds_leg = None
+    if int(os.environ.get("BENCH_DS", "1")) and M == 1000:
+        import subprocess
+
+        try:
+            cmd = [sys.executable, os.path.abspath(__file__), "--ds-child"]
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=2400,
+                env=dict(os.environ),
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            ds_leg = json.loads(line[-1]) if line else {
+                "error": (out.stderr or "no output")[-300:]}
+        except Exception as e:  # noqa: BLE001 — bench must still report
+            ds_leg = {"error": str(e)[:300]}
+        print(f"[bench] ds leg: {ds_leg}", file=sys.stderr)
+
     # Hopper NLP leg (the IPOPT-replacement engine on hardware) — in a
     # subprocess like the batched leg so an NLP-side device fault cannot
     # poison the main record
@@ -791,6 +856,7 @@ def main():
                 "qp_capped": len(capped),
                 **mc_stats,
                 "parity_mode": parity,
+                "ds_mode": ds_leg,
                 "batched_throughput": batched,
                 "hopper": hopper,
             }
@@ -819,7 +885,8 @@ def _main_with_retries():
         # the batched child runs inside the parent's subprocess timeout and
         # its failure is already tolerated (reported in the "batched" field)
         # — don't burn retry backoffs there
-        if "--batched-child" in sys.argv[1:] or "--hopper-child" in sys.argv[1:]:
+        if any(f in sys.argv[1:] for f in
+               ("--batched-child", "--hopper-child", "--ds-child")):
             max_attempts = 1
         if attempt < max_attempts:
             backoff = int(os.environ.get("BENCH_RETRY_BACKOFF_S", "120"))

@@ -147,6 +147,12 @@ class SolverConfig:
     # sweeps at M=1000, so long transition solves spend less on checking.
     # 1 = off (check every check_every iterations, OSQP default behavior).
     check_backoff_max: int = 1
+    # Safeguarded type-II Anderson acceleration depth for the ADMM
+    # fixed-point iteration (0 = off). History restarts at every
+    # termination check / rho epoch. Opt-in: attacks iteration count on
+    # the long post-gating transition QPs; per-iteration overhead is the
+    # history roll + a depth^2 Gram solve.
+    anderson_depth: int = 0
     # 'admm-ds' backend only: compensated-true-residual refinement rounds
     # applied to each KKT solve on top of the f32 factor (each round costs
     # 2 ds Jacobian sweeps and contracts the solve error by ~cond(S)*eps).

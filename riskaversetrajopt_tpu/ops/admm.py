@@ -376,6 +376,50 @@ def admm_solve(
             dy, dx, ops.rmatvec_A(dy), ops.matvec_P(dx), ops.matvec_A(dx)
         )
 
+    # Safeguarded type-II Anderson acceleration (OSQP v1 style), opt-in via
+    # SolverConfig.anderson_depth > 0: the ADMM update is a fixed-point map
+    # w -> T(w) on w = (x, z, y); keep the last `depth` (T(w), F = T(w)-w)
+    # pairs, solve the Tikhonov-regularized least-squares
+    #   min_a ||sum_i a_i F_i||  s.t.  sum_i a_i = 1
+    # and take w+ = sum_i a_i T(w_i) when its predicted residual does not
+    # exceed the plain step's (else fall back to T(w)). History lives in
+    # the inner fori carry, so it restarts at every termination check /
+    # rho epoch — a built-in restart schedule.
+    depth = int(getattr(cfg, "anderson_depth", 0))
+    aa_lam = 1e-8
+
+    def aa_step(w_hist, f_hist, cnt, g, f):
+        """Update history with (g, f) and return the accelerated w.
+
+        Circular buffer (single-row dynamic update) rather than a roll:
+        the least-squares combination is row-order-independent, and
+        rolling two (depth, nw) buffers every iteration costs ~4x the
+        history's size in HBM traffic per iteration."""
+        slot = jnp.mod(cnt, depth)
+        w_hist = lax.dynamic_update_index_in_dim(w_hist, g, slot, 0)
+        f_hist = lax.dynamic_update_index_in_dim(f_hist, f, slot, 0)
+        cnt = cnt + 1
+        valid = jnp.arange(depth) < jnp.minimum(cnt, depth)
+        Fm = jnp.where(valid[:, None], f_hist, 0.0)
+        gram = Fm @ Fm.T
+        scale = jnp.trace(gram) / jnp.maximum(jnp.sum(valid), 1) + 1e-30
+        gram = gram + aa_lam * scale * jnp.eye(depth, dtype=dtype)
+        # invalid rows/cols -> identity so their coefficients solve to 0
+        vv = jnp.outer(valid, valid)
+        gram = jnp.where(vv, gram, jnp.eye(depth, dtype=dtype))
+        beta = jnp.linalg.solve(gram, valid.astype(dtype))
+        a = beta / (jnp.sum(beta) + 1e-30)
+        a = jnp.where(valid, a, 0.0)
+        w_acc = a @ w_hist
+        # predicted residual of the combination vs the plain step's
+        r_acc = a @ Fm
+        ok = (
+            jnp.all(jnp.isfinite(w_acc))
+            & (jnp.sum(r_acc * r_acc) <= jnp.sum(f * f))
+        )
+        w_new = jnp.where(ok, w_acc, g)
+        return w_hist, f_hist, cnt, w_new
+
     def make_body(factor):
         """Inner fixed-rho loop body; `factor` is loop-invariant so the
         compiler can pipeline the G-streaming iteration without the
@@ -389,7 +433,38 @@ def admm_solve(
                 refine_now = ((s.it + j) % period == 0) if two_path else None
                 return one_iter(x, z, y, rv, factor, refine_now)
 
-            x, z, y = lax.fori_loop(0, s.interval, inner, (s.x, s.z, s.y))
+            if depth > 0:
+                nw = n + 2 * m
+
+                def inner_aa(j, carry):
+                    x, z, y, w_hist, f_hist, cnt = carry
+                    refine_now = (
+                        ((s.it + j) % period == 0) if two_path else None
+                    )
+                    xp, zp, yp = one_iter(x, z, y, rv, factor, refine_now)
+                    w = jnp.concatenate([x, z, y])
+                    g = jnp.concatenate([xp, zp, yp])
+                    w_hist, f_hist, cnt, w_new = aa_step(
+                        w_hist, f_hist, cnt, g, g - w
+                    )
+                    return (
+                        w_new[:n], w_new[n:n + m], w_new[n + m:],
+                        w_hist, f_hist, cnt,
+                    )
+
+                x, z, y, _, _, _ = lax.fori_loop(
+                    0, s.interval, inner_aa,
+                    (
+                        s.x, s.z, s.y,
+                        jnp.zeros((depth, nw), dtype),
+                        jnp.zeros((depth, nw), dtype),
+                        jnp.zeros((), jnp.int32),
+                    ),
+                )
+            else:
+                x, z, y = lax.fori_loop(
+                    0, s.interval, inner, (s.x, s.z, s.y)
+                )
             prim, dual, eps_prim, eps_dual, ratio = residuals(x, z, y)
             solved = (prim <= eps_prim) & (dual <= eps_dual)
             prim_inf, dual_inf = infeasibility(x, y, s)

@@ -28,15 +28,16 @@ from riskaversetrajopt_tpu.scp.driver import SAATrajOpt
 M = int(os.environ.get("DS_PROBE_M", "1000"))
 passes = int(os.environ.get("DS_PROBE_PASSES", "1"))
 eps = float(os.environ.get("DS_PROBE_EPS", "1e-6"))
+maxit = int(os.environ.get("DS_PROBE_MAXIT", "20000"))
 alpha = 0.2
 print(f"[probe_ds_tpu] device={jax.devices()[0]} M={M} passes={passes} "
-      f"eps={eps}", flush=True)
+      f"eps={eps} maxit={maxit}", flush=True)
 
 scp_cfg = SCPConfig(num_iters=15, gate_iters=2, gate_row_scale=1e-7,
                     gate_bound_l=-0.1, gate_bound_u=0.1)
 model = DroneModel(DroneScenario(M=M))
 om = model.sample(jax.random.PRNGKey(0), M=M)
-cfg = SolverConfig(eps_abs=eps, eps_rel=eps, max_iter=20000,
+cfg = SolverConfig(eps_abs=eps, eps_rel=eps, max_iter=maxit,
                    polish=False, kkt_refine_iters=1, ds_kkt_passes=passes)
 opt = SAATrajOpt(model, method="saa", scp_cfg=scp_cfg,
                  qp_backend="admm-ds", admm_cfg=cfg, dtype=jnp.float32)

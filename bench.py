@@ -257,6 +257,37 @@ def scan_throughput(opt, omegas, alpha, B, repeats):
     return B / t, t
 
 
+
+def _run_child(cmd, env, timeout=2400, attempts=2, backoff=120):
+    """Run a bench child subprocess, retrying once on failure (transient
+    tunnel/backend errors: a child gets no in-process re-exec retries)."""
+    import subprocess
+
+    last = None
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=timeout,
+                env=env,
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")]
+            if line:
+                parsed = json.loads(line[-1])
+                if "error" not in parsed:
+                    return parsed
+                last = parsed
+            else:
+                last = {"error": (out.stderr or "no output")[-300:]}
+        except Exception as e:  # noqa: BLE001 — bench must still report
+            last = {"error": str(e)[:300]}
+        if i + 1 < attempts:
+            print(f"[bench] child {cmd[-1]} failed ({last}); retry in "
+                  f"{backoff}s", file=sys.stderr, flush=True)
+            time.sleep(backoff)
+    return last
+
+
 def hopper_bench(repeats):
     """Hopper NLP leg: the IPOPT-replacement engine (ops/nlp_ipm.py) on
     hardware — damped cold baseline + warm-started SAA solves in true f32
@@ -764,51 +795,30 @@ def main():
     batched = None
     B = int(os.environ.get("BENCH_BATCH", "30"))
     if B > 1:
-        import subprocess
-
-        try:
-            cmd = [sys.executable, os.path.abspath(__file__),
-                   "--batched-child", str(B)]
-            if args.platform:
-                cmd += ["--platform", args.platform]
-            env = dict(os.environ)
-            # rho-epoch cadence for the batched child (0 = event-driven;
-            # fixed cadence was measured NOT to fix the lockstep divergence
-            # and to slow serial convergence — see PARITY.md round 3)
-            env.setdefault(
-                "BENCH_RHO_EPOCH",
-                os.environ.get("BENCH_RHO_EPOCH_BATCH", "0"),
-            )
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=2400, env=env,
-            )
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")]
-            batched = json.loads(line[-1]) if line else {
-                "batch": B, "error": (out.stderr or "no output")[-300:]}
-        except Exception as e:  # noqa: BLE001 — bench must still report
-            batched = {"batch": B, "error": str(e)[:300]}
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--batched-child", str(B)]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        env = dict(os.environ)
+        # rho-epoch cadence for the batched child (0 = event-driven;
+        # fixed cadence was measured NOT to fix the lockstep divergence
+        # and to slow serial convergence — see PARITY.md round 3)
+        env.setdefault(
+            "BENCH_RHO_EPOCH",
+            os.environ.get("BENCH_RHO_EPOCH_BATCH", "0"),
+        )
+        batched = _run_child(cmd, env)
+        if batched is not None and "error" in batched:
+            batched.setdefault("batch", B)
         print(f"[bench] batched throughput: {batched}", file=sys.stderr)
 
     # ds high-precision leg (subprocess-isolated)
     ds_leg = None
     if int(os.environ.get("BENCH_DS", "1")) and M == 1000:
-        import subprocess
-
-        try:
-            cmd = [sys.executable, os.path.abspath(__file__), "--ds-child"]
-            if args.platform:
-                cmd += ["--platform", args.platform]
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=2400,
-                env=dict(os.environ),
-            )
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")]
-            ds_leg = json.loads(line[-1]) if line else {
-                "error": (out.stderr or "no output")[-300:]}
-        except Exception as e:  # noqa: BLE001 — bench must still report
-            ds_leg = {"error": str(e)[:300]}
+        cmd = [sys.executable, os.path.abspath(__file__), "--ds-child"]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        ds_leg = _run_child(cmd, dict(os.environ))
         print(f"[bench] ds leg: {ds_leg}", file=sys.stderr)
 
     # Hopper NLP leg (the IPOPT-replacement engine on hardware) — in a
@@ -816,23 +826,10 @@ def main():
     # poison the main record
     hopper = None
     if int(os.environ.get("BENCH_HOPPER", "1")):
-        import subprocess
-
-        try:
-            cmd = [sys.executable, os.path.abspath(__file__),
-                   "--hopper-child"]
-            if args.platform:
-                cmd += ["--platform", args.platform]
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=2400,
-                env=dict(os.environ),
-            )
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")]
-            hopper = json.loads(line[-1]) if line else {
-                "error": (out.stderr or "no output")[-300:]}
-        except Exception as e:  # noqa: BLE001 — bench must still report
-            hopper = {"error": str(e)[:300]}
+        cmd = [sys.executable, os.path.abspath(__file__), "--hopper-child"]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        hopper = _run_child(cmd, dict(os.environ))
         print(f"[bench] hopper leg: {hopper}", file=sys.stderr)
 
     cpu = jax.devices("cpu")[0]
